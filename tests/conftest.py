@@ -8,11 +8,18 @@ Must set env before jax is first imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon site hook (sitecustomize) force-registers the TPU backend and
+# overrides JAX_PLATFORMS; an in-process config update is what actually
+# pins tests to the virtual-8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
