@@ -1,0 +1,97 @@
+"""Mesh-sharded four-step transform tests on the 8-virtual-device CPU mesh —
+test pyramid layer (e) of SURVEY.md §4 (the loopback-before-pod analog)."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_ntt import ref
+from tpu_ntt.params import make_params, preset
+from tpu_ntt.parallel.sharded import ShardedPlan, make_mesh
+from tpu_ntt.transform import Plan
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("name", ["sw256", "hw256", "dilithium256"])
+def test_sharded_polymul_vs_schoolbook(mesh, rng, name):
+    p = preset(name)
+    sp = ShardedPlan(p, mesh)
+    a = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    c = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a), sp.shard_coeffs(b)))
+    oracle = (ref.schoolbook_negacyclic if p.negacyclic
+              else ref.schoolbook_cyclic)
+    for i in range(2):
+        np.testing.assert_array_equal(c[i], oracle(a[i], b[i], p.q))
+
+
+@pytest.mark.parametrize("n,q", [(1024, 12289), (4096, 12289),
+                                 (4096, 8380417)])
+def test_sharded_matches_single_chip(mesh, rng, n, q):
+    """Sharded and single-chip pipelines agree bit-exactly — the scaling
+    path changes the schedule, never the numbers."""
+    p = make_params(n, q)
+    sp = ShardedPlan(p, mesh)
+    plan = Plan(p)
+    a = rng.integers(0, q, (1, n)).astype(np.int32)
+    b = rng.integers(0, q, (1, n)).astype(np.int32)
+    got = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a), sp.shard_coeffs(b)))
+    want = np.asarray(plan.polymul_jit(a, b))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_roundtrip(mesh, rng):
+    p = make_params(1024, 12289)
+    sp = ShardedPlan(p, mesh)
+    a = rng.integers(0, p.q, (3, p.n)).astype(np.int32)
+    f = sp.forward_jit(sp.shard_coeffs(a))
+    g = sp.unshard(sp.inverse_jit(f))
+    np.testing.assert_array_equal(g, a)
+
+
+def test_spectrum_is_permutation_of_standard(mesh, rng):
+    """The four-step spectrum is the standard spectrum under a fixed
+    data-independent permutation (bitrev-per-factor x transpose)."""
+    p = make_params(1024, 12289)
+    sp = ShardedPlan(p, mesh)
+    a = rng.integers(0, p.q, (1, p.n)).astype(np.int32)
+    f = sp.unshard(sp.forward_jit(sp.shard_coeffs(a)))[0]
+    # standard-order negacyclic spectrum from the oracle
+    from tpu_ntt.utils.bitrev import bit_reverse_permute
+    from tpu_ntt.params import psi_powers
+    tw = a[0] * psi_powers(p) % p.q
+    std = bit_reverse_permute(ref.ntt(tw, p, "ct", "std2rev"))
+    assert sorted(f.tolist()) == sorted(std.tolist())
+    # and the permutation is the documented one: pos (k1p, k2p) holds
+    # frequency bitrev(k1p) + n1*bitrev_within(k2p)
+    from tpu_ntt.utils.bitrev import bit_reverse_indices
+    r1 = bit_reverse_indices(sp.n1)
+    r2 = bit_reverse_indices(sp.n2)
+    fm = f.reshape(sp.n1, sp.n2)
+    for k1p in range(0, sp.n1, 7):
+        for k2p in range(0, sp.n2, 5):
+            freq = r1[k1p] + sp.n1 * r2[k2p]
+            assert fm[k1p, k2p] == std[freq]
+
+
+def test_mesh_divisibility_error(mesh):
+    p = make_params(256, 12289)
+    with pytest.raises(ValueError):
+        ShardedPlan(p, mesh, n1=128)   # n2=2 not divisible by 8
+
+
+def test_single_device_mesh(rng):
+    """D=1 degenerates to a local four-step — same numbers."""
+    p = preset("sw256")
+    sp = ShardedPlan(p, make_mesh(1))
+    a = rng.integers(0, p.q, (1, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (1, p.n)).astype(np.int32)
+    c = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a), sp.shard_coeffs(b)))
+    np.testing.assert_array_equal(
+        c[0], ref.schoolbook_negacyclic(a[0], b[0], p.q))

@@ -1,0 +1,227 @@
+"""Mesh-sharded transforms: the pod-scale NTT.
+
+The reference scales its transform two ways (SURVEY.md §5): more PEs per
+chip (bank crossbar + brscramble permutation network,
+``AddressGenerator.v:310-337``) and bigger rings by macro change.  Across
+chips there is nothing — PCIe to one FPGA is the end of the line.
+
+Here large transforms shard over a ``jax.sharding.Mesh`` axis and the
+butterfly-stage exchange becomes a single ``all_to_all`` (matrix
+transpose), via the classic **four-step/Bailey decomposition** n = n1·n2:
+
+1. view coefficients as an (n1, n2) matrix, n2 (columns) sharded;
+2. size-n1 NTTs down the columns — local (contraction axis unsharded),
+   with the negacyclic twist factor ψ^(n2·i1) merged into the stage
+   twiddles (valid: ψ^n2 is a primitive 2n1-th root);
+3. elementwise twist ψ^i2 · ω^(i2·k1) — local, precomputed in the same
+   bit-reversed k1 order the column NTT emits (no unscrambling);
+4. ``all_to_all`` transpose (the ICI replacement for the FPGA's
+   brscramble crossbar — one collective for all log(n) stages);
+5. size-n2 NTTs along the rows — local, plain cyclic.
+
+The spectrum comes out in "four-step order" (bit-reversed per factor ×
+transposed) — order-agnostic for pointwise products, exactly like the
+reference keeping its spectrum bit-reversed between NTT and INTT
+(PolyMult.v:222-227).  The inverse mirrors each step, with every scale
+(n1⁻¹·n2⁻¹, Montgomery fix) folded into the single un-twist table.
+
+Works on any mesh the axis divides: single host 8 virtual devices, one
+v5e chip (D=1), or a multi-host slice (build the mesh over DCN with
+``jax.distributed.initialize`` — see ``multihost.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import NTTParams, modinv
+from ..transform import Plan
+
+__all__ = ["ShardedPlan", "make_mesh"]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    """1-D device mesh over the first n_devices local devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+@dataclasses.dataclass(frozen=True)
+class _Split:
+    n1: int
+    n2: int
+
+
+def _choose_split(n: int, d: int) -> _Split:
+    """n = n1·n2 with d | n1 and d | n2, both as square as possible."""
+    l = n.bit_length() - 1
+    l2 = l // 2
+    n1, n2 = 1 << (l - l2), 1 << l2
+    if n1 % d or n2 % d:
+        raise ValueError(f"mesh size {d} must divide both factors of "
+                         f"n={n} (got {n1}x{n2})")
+    return _Split(n1, n2)
+
+
+class ShardedPlan:
+    """Four-step transform plan over a 1-D mesh axis.
+
+    API parity with :class:`~tpu_ntt.transform.Plan` at pod scale:
+    ``forward``/``inverse``/``pointwise``/``polymul``, all operating on
+    ``(batch, n)`` arrays whose coefficient axis is sharded.
+    """
+
+    def __init__(self, params: NTTParams, mesh: Mesh, axis: str = "x",
+                 n1: int | None = None, batch_axis: str | None = None):
+        self.params = params
+        self.mesh = mesh
+        self.axis = axis
+        self.batch_axis = batch_axis   # optional data-parallel mesh axis
+        d = mesh.shape[axis]
+        self.d = d
+        if n1 is None:
+            split = _choose_split(params.n, d)
+        else:
+            split = _Split(n1, params.n // n1)
+            if split.n1 % d or split.n2 % d:
+                raise ValueError("mesh size must divide both n1 and n2")
+        self.n1, self.n2 = split.n1, split.n2
+        p, q = params, params.q
+
+        # column sub-transform: size n1, root omega^n2, twist psi^n2
+        om1 = pow(p.omega, self.n2, q)
+        psi1 = pow(p.psi, self.n2, q) if p.psi else 0
+        self.plan1 = Plan(NTTParams(n=self.n1, q=q, omega=om1, psi=psi1))
+        # row sub-transform: size n2, root omega^n1, cyclic (twist consumed)
+        om2 = pow(p.omega, self.n1, q)
+        self.plan2 = Plan(NTTParams(n=self.n2, q=q, omega=om2, psi=0))
+        self.arith = self.plan1.arith
+
+        self._twiddles()
+
+    # ------------------------------------------------------------------
+
+    def _twiddles(self):
+        """The step-3 twist tables, in (i2, k1_bitrev) orientation,
+        host-side numpy; fwd: psi^i2 · omega^(i2·k1);
+        inv: psi^-i2 · omega^(-i2·k1) · n^-1 · pointwise_fix."""
+        from ..utils.bitrev import bit_reverse_indices
+        p = self.params
+        q = p.q
+        n1, n2 = self.n1, self.n2
+
+        def powers(base: int, count: int) -> np.ndarray:
+            out = np.empty(count, dtype=np.int64)
+            acc = 1
+            for i in range(count):
+                out[i] = acc
+                acc = acc * base % q
+            return out
+
+        k1 = bit_reverse_indices(n1)            # position -> true frequency
+        exp = (np.arange(n2, dtype=np.int64)[:, None] * k1[None, :]) % p.n
+        psi = p.psi if p.psi else 1
+        psi_inv = modinv(psi, q) if p.psi else 1
+        w_pow = powers(p.omega, p.n)
+        wi_pow = powers(p.omega_inv, p.n)
+        psi_col = powers(psi, n2)[:, None]
+        psi_inv_col = powers(psi_inv, n2)[:, None]
+        inv_scale = modinv(p.n, q) * self.arith.pointwise_fix % q
+
+        fwd = psi_col * w_pow[exp] % q
+        inv = psi_inv_col * wi_pow[exp] % q * inv_scale % q
+        self._t_fwd = self.arith.const_table(fwd)
+        self._t_inv = self.arith.const_table(inv)
+
+    def _local_tw(self, tab, idx):
+        """Slice a (n2, n1) table to this device's i2 range."""
+        l2 = self.n2 // self.d
+        return tuple(jax.lax.dynamic_slice_in_dim(jnp.asarray(t), idx * l2,
+                                                  l2, axis=0) for t in tab)
+
+    # ------------------------------------------------------------------
+    # shard_map bodies (operate on local blocks, batch leading)
+    # ------------------------------------------------------------------
+
+    def _fwd_body(self, x):
+        """x local: (B, n1, L2) — coefficient matrix with columns sharded."""
+        ax = self.axis
+        idx = jax.lax.axis_index(ax)
+        y = jnp.swapaxes(x, -1, -2)                       # (B, L2, n1)
+        y = self.plan1.ntt(y, "ct", "std2rev",
+                           mixed=self.params.negacyclic)  # column NTTs
+        y = self.arith.mul_const(y, self._local_tw(self._t_fwd, idx))
+        y = jnp.swapaxes(y, -1, -2)                       # (B, n1, L2)
+        y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=2,
+                               tiled=True)                # (B, n1/D, n2)
+        return self.plan2.ntt(y, "ct", "std2rev")         # row NTTs
+
+    def _inv_body(self, y):
+        """y local: (B, n1/D, n2) four-step spectrum -> (B, n1, L2)."""
+        ax = self.axis
+        idx = jax.lax.axis_index(ax)
+        z = self.plan2.ntt(y, "gs", "rev2std", inverse=True)
+        z = jax.lax.all_to_all(z, ax, split_axis=2, concat_axis=1,
+                               tiled=True)                # (B, n1, L2)
+        z = jnp.swapaxes(z, -1, -2)                       # (B, L2, n1)
+        z = self.arith.mul_const(z, self._local_tw(self._t_inv, idx))
+        z = self.plan1.ntt(z, "gs", "rev2std", inverse=True,
+                           mixed=self.params.negacyclic)
+        return jnp.swapaxes(z, -1, -2)                    # (B, n1, L2)
+
+    def _polymul_body(self, a, b):
+        fa = self._fwd_body(a)
+        fb = self._fwd_body(b)
+        return self._inv_body(self.arith.mul(fa, fb))
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    @property
+    def coef_spec(self):
+        """PartitionSpec of a (batch, n1, n2) coefficient array:
+        batch data-parallel (if batch_axis), coefficients sequence-parallel
+        over the transform axis."""
+        return P(self.batch_axis, None, self.axis)
+
+    @property
+    def spec_spec(self):
+        """PartitionSpec of the four-step spectrum (batch, n1, n2)."""
+        return P(self.batch_axis, self.axis, None)
+
+    def shard_coeffs(self, a):
+        """Device-put a (batch, n) array as a sharded (batch, n1, n2)
+        coefficient matrix — the device_put/DMA-staging analog."""
+        a = np.asarray(a, dtype=np.int32).reshape(-1, self.n1, self.n2)
+        return jax.device_put(
+            a, NamedSharding(self.mesh, self.coef_spec))
+
+    def unshard(self, c) -> np.ndarray:
+        """Gather a (batch, n1, n2) result back to host (batch, n)."""
+        return np.asarray(c).reshape(-1, self.params.n)
+
+    def _smap(self, fn, in_specs, out_specs):
+        return jax.jit(jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                                     out_specs=out_specs, check_vma=False))
+
+    @functools.cached_property
+    def forward_jit(self):
+        return self._smap(self._fwd_body, (self.coef_spec,), self.spec_spec)
+
+    @functools.cached_property
+    def inverse_jit(self):
+        return self._smap(self._inv_body, (self.spec_spec,), self.coef_spec)
+
+    @functools.cached_property
+    def polymul_jit(self):
+        return self._smap(self._polymul_body,
+                          (self.coef_spec, self.coef_spec), self.coef_spec)
