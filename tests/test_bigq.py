@@ -1,0 +1,86 @@
+"""Big-modulus (RNS/CRT) polynomial product tests — BASELINE config 4."""
+
+import numpy as np
+import pytest
+
+from tpu_ntt import ref
+from tpu_ntt.bigq import BigQPlan, select_rns_primes
+from tpu_ntt.params import find_params, is_prime
+
+
+def test_select_rns_primes():
+    primes = select_rns_primes(1024, 130)
+    assert all(is_prime(p) and p % 2048 == 1 and p < (1 << 29)
+               for p in primes)
+    assert len(set(primes)) == len(primes)
+    prod_bits = sum(int(p).bit_length() for p in primes)
+    assert prod_bits >= 130
+
+
+def test_bigq_polymul_vs_schoolbook(rng):
+    p = find_params(256, 62)
+    plan = BigQPlan(p)
+    a = rng.integers(0, p.q, (2, 256)).astype(np.uint64)
+    b = rng.integers(0, p.q, (2, 256)).astype(np.uint64)
+    c = plan.polymul(a, b)
+    for i in range(2):
+        want = ref.schoolbook_negacyclic(a[i].astype(object),
+                                         b[i].astype(object), p.q)
+        np.testing.assert_array_equal(c[i].astype(object),
+                                      want.astype(object))
+
+
+def test_bigq_41bit(rng):
+    """Non-62-bit big q also works (fewer channels selected)."""
+    p = find_params(512, 41)
+    plan = BigQPlan(p)
+    a = rng.integers(0, p.q, (1, 512)).astype(np.uint64)
+    b = rng.integers(0, p.q, (1, 512)).astype(np.uint64)
+    c = plan.polymul(a, b)
+    want = ref.schoolbook_negacyclic(a[0].astype(object),
+                                     b[0].astype(object), p.q)
+    np.testing.assert_array_equal(c[0].astype(object), want.astype(object))
+
+
+def test_bigq_sharded_channels(rng):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from tpu_ntt.parallel.sharded import make_mesh
+    p = find_params(4096, 62)
+    plan = BigQPlan(p, mesh=make_mesh(8))
+    a = rng.integers(0, p.q, (1, 4096)).astype(np.uint64)
+    b = rng.integers(0, p.q, (1, 4096)).astype(np.uint64)
+    c = plan.polymul(a, b)
+    # independent oracle: the native uint64 NTT (or single-chip BigQPlan)
+    from tpu_ntt.runtime.native import load
+    nc = load()
+    if nc is not None:
+        want = nc.polymul64(a[0], b[0], p.q, p.psi)
+        np.testing.assert_array_equal(c[0], want)
+    else:
+        want = BigQPlan(p).polymul(a, b)
+        np.testing.assert_array_equal(c, want)
+
+
+def test_bigq_rejects_oversize_q():
+    p = find_params(256, 62)
+    object.__setattr__(p, "q", 1 << 63)  # forged — constructor must reject
+    with pytest.raises(ValueError):
+        BigQPlan(p)
+
+
+def test_python_crt_fallback_matches_native(rng):
+    p = find_params(256, 50)
+    plan = BigQPlan(p)
+    a = rng.integers(0, p.q, (1, 256)).astype(np.uint64)
+    b = rng.integers(0, p.q, (1, 256)).astype(np.uint64)
+    ra, rb = plan._split(a), plan._split(b)
+    prods = np.stack([
+        np.asarray(cp.polymul_jit(ra[i], rb[i])).astype(np.int32)
+        for i, cp in enumerate(plan.channel_plans)])
+    via_python = plan._crt_python(prods.reshape(len(plan.primes), -1))
+    if plan._native is not None:
+        via_native = plan._native.crt_garner(
+            prods.reshape(len(plan.primes), -1), plan.primes, p.q)
+        np.testing.assert_array_equal(via_python, via_native)

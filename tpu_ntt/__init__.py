@@ -17,5 +17,19 @@ __version__ = "0.1.0"
 
 __all__ = [
     "NTTParams", "make_params", "find_params", "preset", "PRESETS",
-    "params", "ref",
+    "params", "ref", "Plan", "ShardedPlan", "BigQPlan",
 ]
+
+
+def __getattr__(name):
+    # heavier modules (jax import) loaded lazily
+    if name == "Plan":
+        from .transform import Plan
+        return Plan
+    if name == "ShardedPlan":
+        from .parallel.sharded import ShardedPlan
+        return ShardedPlan
+    if name == "BigQPlan":
+        from .bigq import BigQPlan
+        return BigQPlan
+    raise AttributeError(name)
