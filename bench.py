@@ -32,14 +32,21 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_polymul(config: str, batch: int, iters: int, warmup: int):
+def bench_polymul(config: str, batch: int, iters: int, warmup: int,
+                  backend: str = "xla"):
     import jax
     import jax.numpy as jnp
     from tpu_ntt.params import preset
     from tpu_ntt.transform import Plan
 
     p = preset(config)
-    plan = Plan(p)
+    log(f"[bench] backend={backend}")
+    if backend == "pallas":
+        from tpu_ntt.ops.butterfly import PallasPolymul
+        plan = PallasPolymul(p)
+        plan.polymul_jit = plan.polymul
+    else:
+        plan = Plan(p)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.integers(0, p.q, (batch, p.n)), jnp.int32)
     b = jnp.asarray(rng.integers(0, p.q, (batch, p.n)), jnp.int32)
@@ -82,9 +89,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
     args = ap.parse_args()
 
-    bf_per_s = bench_polymul(args.config, args.batch, args.iters, args.warmup)
+    bf_per_s = bench_polymul(args.config, args.batch, args.iters,
+                             args.warmup, args.backend)
     print(json.dumps({
         "metric": f"ntt_butterflies_per_sec_per_chip ({args.config} "
                   f"negacyclic polymul, batch={args.batch})",

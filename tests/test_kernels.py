@@ -1,0 +1,71 @@
+"""Pallas fused-kernel tests (interpret mode on CPU; real-TPU execution is
+covered by bench.py / the verify drive)."""
+
+import numpy as np
+import pytest
+
+from tpu_ntt import ref
+from tpu_ntt.ops.butterfly import PallasPolymul, supported
+from tpu_ntt.params import make_params, preset
+
+
+@pytest.mark.parametrize("name", ["sw256", "hw256", "kyber128"])
+def test_pallas_polymul_bit_exact(rng, name):
+    p = preset(name)
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    a = rng.integers(0, p.q, (10, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (10, p.n)).astype(np.int32)
+    c = np.asarray(pk.polymul(a, b))
+    for i in range(10):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], p.q))
+    assert c.min() >= 0 and c.max() < p.q
+
+
+def test_pallas_matches_xla_plan(rng):
+    from tpu_ntt.transform import Plan
+    p = preset("sw256")
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    plan = Plan(p)
+    a = rng.integers(0, p.q, (8, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (8, p.n)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(pk.polymul(a, b)),
+                                  np.asarray(plan.polymul_jit(a, b)))
+
+
+def test_pallas_batch_padding(rng):
+    """Batch not divisible by the tile is padded internally."""
+    p = preset("sw256")
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    a = rng.integers(0, p.q, (5, p.n)).astype(np.int32)   # 5 % 8 != 0
+    b = rng.integers(0, p.q, (5, p.n)).astype(np.int32)
+    c = np.asarray(pk.polymul(a, b))
+    assert c.shape == (5, p.n)
+    np.testing.assert_array_equal(
+        c[4], ref.schoolbook_negacyclic(a[4], b[4], p.q))
+
+
+def test_pallas_extreme_inputs():
+    """All-(q-1) inputs exercise the lazy-range bounds."""
+    p = preset("sw256")
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    a = np.full((8, p.n), p.q - 1, dtype=np.int32)
+    c = np.asarray(pk.polymul(a, a))
+    want = ref.schoolbook_negacyclic(a[0], a[0], p.q)
+    np.testing.assert_array_equal(c[0], want)
+
+
+def test_pallas_unsupported_q():
+    assert not supported(preset("dilithium256"))
+    with pytest.raises(ValueError):
+        PallasPolymul(preset("dilithium256"))
+
+
+def test_pallas_other_n(rng):
+    p = make_params(512, 12289)
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    a = rng.integers(0, p.q, (8, 512)).astype(np.int32)
+    b = rng.integers(0, p.q, (8, 512)).astype(np.int32)
+    c = np.asarray(pk.polymul(a, b))
+    np.testing.assert_array_equal(
+        c[0], ref.schoolbook_negacyclic(a[0], b[0], p.q))

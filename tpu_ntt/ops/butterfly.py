@@ -1,0 +1,236 @@
+"""Fused Pallas TPU kernel: whole negacyclic polymul in one VMEM pass.
+
+The per-chip hot path for small-q parameter points (q < 2^14: the
+reference's q=7681/q=12289 and Kyber-style 3329).  One kernel performs
+forward NTT(a), forward NTT(b), pointwise product and inverse NTT over a
+batch tile resident in VMEM — the TPU equivalent of the FPGA keeping the
+whole ring in banked BRAM across all stages (NTTN.v:94-117) instead of
+spilling to DRAM between stages.
+
+Layout strategy: the block keeps a FIXED (tile, n) shape for all stages —
+Mosaic cannot re-tile lane-splitting reshapes — and each butterfly stage
+is expressed as lane rotations (``pltpu.roll``) plus iota masks:
+
+    up[i]   = x[i+d]          (partner of a lo element)
+    down[i] = x[i-d]          (partner of a hi element)
+    hi_vals = where(lo_mask, up, x)       # everyone sees "their hi"
+    CT:  x' = where(lo_mask, lo + m, down - m + 2q),  m = shoup(hi_vals, w)
+    GS:  x' = where(lo_mask, lo + hi, shoup(lo_vals - hi + 2q, w))
+
+This is the vectorised re-expression of the FPGA's cross-PE exchange: the
+brsel/brscramble permutation network (AddressGenerator.v:310-337) becomes
+two lane rotations per stage, and the per-position dense twiddle tables
+absorb all address generation.
+
+Arithmetic is *lazy* Shoup/Harvey: values live in [0, 2q) between
+butterflies (one conditional 2q-subtract per output), only the final n^-1
+scale maps back to canonical [0, q) — the int32-lane analog of the lazy
+bounds the reference's NTT-RED software documents (ntt_red.h:86-137).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import NTTParams, stage_powers
+from ..utils.bitrev import bit_reverse_int
+
+__all__ = ["PallasPolymul", "supported"]
+
+
+def supported(params: NTTParams) -> bool:
+    """Lazy-Shoup needs 2q < 2^15; lane rolls want n >= 2 lanes' worth."""
+    return params.q < (1 << 14) and params.n >= 8
+
+
+# ---------------------------------------------------------------------------
+# host-side table packing: dense per-position twiddles, (log2n, n)
+# ---------------------------------------------------------------------------
+
+def _dense_stage_tables(p: NTTParams, inverse: bool):
+    """w_full[s, i] = twiddle of the butterfly pair containing position i
+    at stage s (same value at the lo and hi position of a pair).
+
+    Forward: CT std2rev (psi merged when negacyclic): stage s has t=2^s
+    blocks of width d=n/2t; block j (positions [2dj, 2dj+2d)) uses
+    flat[t + j] with the *_rev table.
+    Inverse: GS rev2std (psi^-1 merged): stage s has d=2^s-wide blocks,
+    t=n/2d of them; block j uses flat[t + j].
+    """
+    q = p.q
+    base = p.omega_inv if inverse else p.omega
+    psi_b = (p.psi_inv if inverse else p.psi) if p.psi else 0
+    flat = stage_powers(p, base, rev=True, psi_base=psi_b)
+    out = np.zeros((p.log2n, p.n), dtype=np.int64)
+    for s in range(p.log2n):
+        if not inverse:
+            t = 1 << s
+            d = p.n // (2 * t)
+        else:
+            d = 1 << s
+            t = p.n // (2 * d)
+        tw = flat[t:2 * t]                  # per block j
+        out[s] = np.repeat(tw, 2 * d)       # both halves of each block
+    sh = (out << 16) // q
+    return out.astype(np.int32), sh.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(p: NTTParams, tile: int):
+    n, q = p.n, p.q
+    log2n = p.log2n
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+
+    def csub2q(x):
+        r = x - two_q
+        return r + ((r >> 31) & two_q)
+
+    def csubq(x):
+        r = x - q32
+        return r + ((r >> 31) & q32)
+
+    def shoup(x, w, wsh):
+        t = (x * wsh) >> 16
+        return x * w - t * q32              # in [0, 2q)
+
+    def lo_mask(d):
+        i = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        return ((i // d) & 1) == 0
+
+    def fwd(x, twf, twfsh):
+        # CT std2rev: stage s pairs at lane distance d = n >> (s+1)
+        for s in range(log2n):
+            d = n >> (s + 1)
+            mask = lo_mask(d)
+            up = pltpu.roll(x, n - d, 1)   # roll requires shift >= 0
+            down = pltpu.roll(x, d, 1)
+            w = twf[s, :][None, :]
+            wsh = twfsh[s, :][None, :]
+            hi_vals = jnp.where(mask, up, x)
+            m = shoup(hi_vals, w, wsh)
+            x = jnp.where(mask, csub2q(x + m),
+                          csub2q(down - m + two_q))
+        return x                            # [0, 2q)
+
+    def inv(x, twi, twish):
+        # GS rev2std: stage s pairs at lane distance d = 2^s
+        for s in range(log2n):
+            d = 1 << s
+            mask = lo_mask(d)
+            up = pltpu.roll(x, n - d, 1)   # roll requires shift >= 0
+            down = pltpu.roll(x, d, 1)
+            w = twi[s, :][None, :]
+            wsh = twish[s, :][None, :]
+            hi_vals = jnp.where(mask, up, x)
+            lo_vals = jnp.where(mask, x, down)
+            s_ = csub2q(lo_vals + hi_vals)
+            m = shoup(csub2q(lo_vals - hi_vals + two_q), w, wsh)
+            x = jnp.where(mask, s_, m)
+        return x
+
+    def mul_lazy(a, b):
+        # data x data, both [0, 2q) subset of [0, 2^15): z < 2^30
+        z = a * b
+        hi = z >> 15
+        lo = z & np.int32((1 << 15) - 1)
+        c = (1 << 15) % q
+        r1 = shoup(hi, np.int32(c), np.int32((c << 16) // q))
+        r2 = shoup(lo, np.int32(1), np.int32((1 << 16) // q))
+        return csub2q(r1 + r2)              # [0, 2q)
+
+    ninv = p.n_inv
+    ninv_sh = (ninv << 16) // q
+
+    def kernel(a_ref, b_ref, twf_ref, twfsh_ref, twi_ref, twish_ref,
+               out_ref):
+        twf, twfsh = twf_ref[...], twfsh_ref[...]
+        twi, twish = twi_ref[...], twish_ref[...]
+        fa = fwd(a_ref[...], twf, twfsh)
+        fb = fwd(b_ref[...], twf, twfsh)
+        c = mul_lazy(fa, fb)
+        c = inv(c, twi, twish)
+        c = shoup(c, np.int32(ninv), np.int32(ninv_sh))
+        out_ref[...] = csubq(c)
+
+    return kernel
+
+
+class PallasPolymul:
+    """Plan-level wrapper: fused-kernel polymul for (batch, n) int32."""
+
+    def __init__(self, params: NTTParams, tile: int | None = None,
+                 interpret: bool = False):
+        if not supported(params):
+            raise ValueError(f"Pallas kernel needs q < 2^14, got {params.q}")
+        self.params = params
+        n = params.n
+        if tile is None:
+            tile = max(8, min(512, (1 << 18) // n))
+        self.tile = tile
+        self.interpret = interpret
+        self._twf, self._twfsh = _dense_stage_tables(params, inverse=False)
+        self._twi, self._twish = _dense_stage_tables(params, inverse=True)
+
+    @functools.cached_property
+    def _call(self):
+        p = self.params
+        n, tile = p.n, self.tile
+        kernel = _make_kernel(p, tile)
+        tw_shape = (p.log2n, n)
+        tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+
+        def run(a, b, twf, twfsh, twi, twish):
+            grid = (a.shape[0] // tile,)
+            flops_est = 3 * a.shape[0] * (n // 2) * p.log2n * 10
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[data_spec, data_spec] + [tw_spec] * 4,
+                out_specs=data_spec,
+                out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
+                cost_estimate=pl.CostEstimate(
+                    flops=flops_est,
+                    bytes_accessed=3 * a.size * 4,
+                    transcendentals=0),
+                interpret=self.interpret,
+            )(a, b, twf, twfsh, twi, twish)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _full(self):
+        """One jit covering pad + kernel + unpad (no eager dispatch)."""
+        n, tile = self.params.n, self.tile
+        twf, twfsh, twi, twish = (self._twf, self._twfsh, self._twi,
+                                  self._twish)
+
+        def full(a, b):
+            lead = a.shape[:-1]
+            a = a.astype(jnp.int32).reshape(-1, n)
+            b = b.astype(jnp.int32).reshape(-1, n)
+            batch = a.shape[0]
+            pad = (-batch) % tile
+            if pad:
+                a = jnp.pad(a, ((0, pad), (0, 0)))
+                b = jnp.pad(b, ((0, pad), (0, 0)))
+            out = self._call(a, b, twf, twfsh, twi, twish)
+            return out[:batch].reshape(*lead, n)
+
+        return jax.jit(full)
+
+    def polymul(self, a, b):
+        """Negacyclic (psi set) or cyclic product; canonical in/out."""
+        return self._full(jnp.asarray(a), jnp.asarray(b))
