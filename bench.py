@@ -35,6 +35,8 @@ def log(*a):
 def bench_polymul(config: str, batch: int, iters: int, warmup: int,
                   backend: str = "xla"):
     import jax
+    from tpu_ntt.utils.jaxcache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from tpu_ntt.params import preset
     from tpu_ntt.transform import Plan

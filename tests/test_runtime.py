@@ -1,0 +1,156 @@
+"""Engine, CLI, IO, profiling and checkpoint tests (the L4/L5 host layer)."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tpu_ntt import io as ntt_io
+from tpu_ntt import ref
+from tpu_ntt.params import preset
+from tpu_ntt.runtime.engine import PolyMultEngine
+from tpu_ntt.utils.checkpoint import CheckpointedRun
+from tpu_ntt.utils.profiling import polymul_roofline, time_fn
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,q,kind", [
+    (256, 12289, "xla"),
+    (256, 3329, "incomplete"),
+])
+def test_engine_dispatch_and_multiply(rng, n, q, kind):
+    eng = PolyMultEngine(n=n, q=q)
+    assert eng.kind == kind
+    a = rng.integers(0, q, (2, n))
+    b = rng.integers(0, q, (2, n))
+    c = eng.multiply(a, b)
+    np.testing.assert_array_equal(
+        c[0], ref.schoolbook_negacyclic(a[0], b[0], q))
+
+
+def test_engine_bigq_dispatch(rng):
+    from tpu_ntt.params import find_params
+    p = find_params(256, 45)
+    eng = PolyMultEngine(n=256, q=p.q)
+    assert eng.kind == "bigq"
+    a = rng.integers(0, p.q, (1, 256)).astype(np.uint64)
+    b = rng.integers(0, p.q, (1, 256)).astype(np.uint64)
+    c = eng.multiply(a, b)
+    want = ref.schoolbook_negacyclic(a[0].astype(object),
+                                     b[0].astype(object), p.q)
+    np.testing.assert_array_equal(c[0].astype(object), want.astype(object))
+
+
+def test_engine_self_test():
+    rep = PolyMultEngine(n=256, q=12289).self_test()
+    assert rep.ok, str(rep)
+    names = [s[0] for s in rep.steps]
+    assert "device loopback" in names and "known product vector" in names
+
+
+# ---------------------------------------------------------------------------
+# io
+# ---------------------------------------------------------------------------
+
+def test_coefficient_file_roundtrip(tmp_path, rng):
+    c = rng.integers(0, 12289, 256)
+    path = tmp_path / "c.txt"
+    ntt_io.write_coefficients(path, c)
+    np.testing.assert_array_equal(ntt_io.read_coefficients(path), c)
+
+
+def test_hex_vector_roundtrip(tmp_path, rng):
+    v = rng.integers(0, 1 << 13, 100)
+    path = tmp_path / "v.txt"
+    ntt_io.write_hex_vectors(path, v)
+    np.testing.assert_array_equal(ntt_io.read_hex_vectors(path), v)
+
+
+def test_vector_bundle_matches_reference_formats(tmp_path, reference_dir):
+    """Our generated bundle reproduces the checked-in PARAM/W/WINV files
+    verbatim for the hardware parameter point."""
+    p = preset("hw256")
+    files = ntt_io.write_test_vectors(p, tmp_path)
+    base = (reference_dir /
+            "Hardware_Multiplier/simulation/modelsim/test")
+    for name in ("PARAM", "W", "WINV"):
+        ours = ntt_io.read_hex_vectors(files[name])
+        theirs = ntt_io.read_hex_vectors(base / f"{name}.txt")
+        np.testing.assert_array_equal(ours, theirs, err_msg=name)
+    # NTT_DIN/DOUT use a random input (not reproducible bit-for-bit), but
+    # must satisfy the same relation: DOUT = hw_ntt(DIN)
+    din = ntt_io.read_hex_vectors(files["NTT_DIN"])
+    dout = ntt_io.read_hex_vectors(files["NTT_DOUT"])
+    np.testing.assert_array_equal(ref.hw_ntt(din, p), dout)
+
+
+# ---------------------------------------------------------------------------
+# cli
+# ---------------------------------------------------------------------------
+
+def test_cli_multiply_and_params(tmp_path, rng):
+    from tpu_ntt.cli import main
+    a = rng.integers(0, 12289, 256)
+    b = rng.integers(0, 12289, 256)
+    fa, fb, fo = tmp_path / "a.txt", tmp_path / "b.txt", tmp_path / "c.txt"
+    ntt_io.write_coefficients(fa, a)
+    ntt_io.write_coefficients(fb, b)
+    rc = main(["multiply", "-a", str(fa), "-b", str(fb), "-o", str(fo)])
+    assert rc == 0
+    c = ntt_io.read_coefficients(fo)
+    np.testing.assert_array_equal(c, ref.schoolbook_negacyclic(a, b, 12289))
+
+    rc = main(["params", "--n", "256", "--q", "7681",
+               "--vectors", str(tmp_path / "vec")])
+    assert rc == 0
+    assert (tmp_path / "vec" / "PARAM.txt").exists()
+
+
+def test_cli_selftest(tmp_path):
+    from tpu_ntt.cli import main
+    assert main(["selftest", "--n", "64", "--q", "12289"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# profiling / checkpoint
+# ---------------------------------------------------------------------------
+
+def test_time_fn():
+    stats = time_fn(lambda: np.arange(10), warmup=1, iters=5)
+    assert stats["iters"] == 5 and stats["mean_s"] >= 0
+
+
+def test_roofline_report():
+    p = preset("sw256")
+    r = polymul_roofline(p, batch=8192, measured_s=100e-6)
+    assert r.butterflies == 3 * 8192 * 128 * 8
+    assert 0 < r.roofline_fraction < 10
+    assert "roofline" in str(r)
+
+
+def test_checkpointed_run(tmp_path, rng):
+    eng = PolyMultEngine(n=64, q=12289)
+    a = rng.integers(0, 12289, (10, 64))
+    b = rng.integers(0, 12289, (10, 64))
+    run = CheckpointedRun(tmp_path / "job", total=10, chunk=4)
+    it = iter(run.pending())
+    lo, hi = next(it)
+    run.complete(lo, hi, eng.multiply(a[lo:hi], b[lo:hi]))
+    # simulate crash + resume: new object, only remaining chunks pending
+    run2 = CheckpointedRun(tmp_path / "job", total=10, chunk=4)
+    pend = list(run2.pending())
+    assert (0, 4) not in pend and len(pend) == 2
+    for lo, hi in pend:
+        run2.complete(lo, hi, eng.multiply(a[lo:hi], b[lo:hi]))
+    assert run2.finished
+    c = run2.gather()
+    np.testing.assert_array_equal(
+        c[7], ref.schoolbook_negacyclic(a[7], b[7], 12289))
+    # mismatched job shape is refused
+    with pytest.raises(ValueError):
+        CheckpointedRun(tmp_path / "job", total=12, chunk=4)

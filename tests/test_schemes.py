@@ -1,0 +1,62 @@
+"""Incomplete-NTT (Kyber-style) tests."""
+
+import numpy as np
+import pytest
+
+from tpu_ntt import ref
+from tpu_ntt.schemes import IncompletePlan, auto_plan, kyber_plan
+from tpu_ntt.transform import Plan
+
+
+def test_kyber_point(rng):
+    """The real ML-KEM ring: n=256, q=3329 (no 512th root exists)."""
+    kp = kyber_plan()
+    assert kp.m == 128 and kp.levels == 1
+    a = rng.integers(0, 3329, (4, 256)).astype(np.int32)
+    b = rng.integers(0, 3329, (4, 256)).astype(np.int32)
+    c = np.asarray(kp.polymul_jit(a, b))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], 3329))
+
+
+def test_deeper_truncation(rng):
+    ip = IncompletePlan(256, 3329, levels=2)
+    assert ip.m == 64
+    a = rng.integers(0, 3329, (2, 256)).astype(np.int32)
+    b = rng.integers(0, 3329, (2, 256)).astype(np.int32)
+    c = np.asarray(ip.polymul_jit(a, b))
+    np.testing.assert_array_equal(
+        c[0], ref.schoolbook_negacyclic(a[0], b[0], 3329))
+
+
+def test_incomplete_with_montgomery(rng):
+    """q=995329 (2-power part 2^12) at n=4096 forces one missing level in
+    MontArith territory."""
+    ip = IncompletePlan(4096, 995329)
+    assert ip.levels == 1 and type(ip.arith).__name__ == "MontArith"
+    a = rng.integers(0, 995329, (1, 4096)).astype(np.int32)
+    b = rng.integers(0, 995329, (1, 4096)).astype(np.int32)
+    c = np.asarray(ip.polymul_jit(a, b))
+    np.testing.assert_array_equal(
+        c[0], ref.schoolbook_negacyclic(a[0], b[0], 995329))
+
+
+def test_auto_plan_dispatch():
+    assert isinstance(auto_plan(256, 3329), IncompletePlan)
+    assert isinstance(auto_plan(256, 12289), Plan)
+
+
+def test_unsupportable_depth():
+    with pytest.raises(ValueError):
+        IncompletePlan(256, 3329, levels=8)   # sub-size 1 is meaningless
+
+
+def test_basemul_identity(rng):
+    """Multiplying by the constant polynomial 1 is the identity."""
+    kp = kyber_plan()
+    a = rng.integers(0, 3329, (2, 256)).astype(np.int32)
+    one = np.zeros((2, 256), dtype=np.int32)
+    one[:, 0] = 1
+    c = np.asarray(kp.polymul_jit(a, one))
+    np.testing.assert_array_equal(c, a)

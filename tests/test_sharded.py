@@ -95,3 +95,26 @@ def test_single_device_mesh(rng):
     c = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a), sp.shard_coeffs(b)))
     np.testing.assert_array_equal(
         c[0], ref.schoolbook_negacyclic(a[0], b[0], p.q))
+
+
+def test_scaling_sweep(mesh):
+    """Weak-scaling harness runs and reports efficiency (CPU mesh numbers
+    are not meaningful, only the plumbing is under test)."""
+    from tpu_ntt.parallel.multihost import scaling_sweep
+    from tpu_ntt.params import make_params
+
+    res = scaling_sweep(lambda d: make_params(1024 * d, 12289 if d <= 2
+                                              else 786433),
+                        [1, 2], iters=2)
+    assert len(res) == 2
+    assert res[0]["efficiency"] == 1.0
+    assert res[1]["devices"] == 2 and res[1]["n"] == 2048
+
+
+def test_global_mesh_shape():
+    from tpu_ntt.parallel.multihost import global_mesh
+    m = global_mesh(dp=2)
+    assert m.shape["dp"] == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        global_mesh(dp=3)

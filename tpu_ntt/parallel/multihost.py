@@ -1,0 +1,85 @@
+"""Multi-host pod-slice setup.
+
+The reference's only interconnect is one PCIe lane to one FPGA; the TPU
+rebuild scales across hosts with ``jax.distributed`` over DCN and a global
+mesh whose sequence-parallel axis rides ICI within each slice.  This
+module wraps the initialization dance so a pod run is:
+
+    from tpu_ntt.parallel import multihost
+    mesh = multihost.initialize_and_mesh()          # on every host
+    plan = ShardedPlan(params, mesh, axis="sp")
+
+Weak-scaling methodology (BASELINE ≥80% target): run ``scaling_sweep`` on
+1 chip, 1 host, N hosts with n scaled proportionally and compare
+butterflies/sec/chip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["initialize", "initialize_and_mesh", "global_mesh",
+           "scaling_sweep"]
+
+
+def initialize(coordinator: str | None = None, num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """jax.distributed.initialize with env-var autodetection (no-op on a
+    single host)."""
+    import jax
+    if num_processes is None and coordinator is None:
+        # single-process / TPU-pod auto-detection path
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            pass                              # single host without env vars
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def global_mesh(axes=("dp", "sp"), dp: int = 1):
+    """Mesh over ALL devices (across hosts): dp outermost over hosts so
+    the sequence-parallel all_to_all stays inside a host/slice (ICI),
+    never on DCN."""
+    import jax
+    devs = np.array(jax.devices())
+    if devs.size % dp:
+        raise ValueError(f"dp={dp} must divide device count {devs.size}")
+    from jax.sharding import Mesh
+    return Mesh(devs.reshape(dp, -1), axes)
+
+
+def initialize_and_mesh(dp: int = 1):
+    initialize()
+    return global_mesh(dp=dp)
+
+
+def scaling_sweep(params_for, device_counts, batch: int = 1, iters: int = 10):
+    """Weak-scaling measurement: for each device count d, transform size
+    scales with d (params_for(d) returns the NTTParams), reporting
+    butterflies/sec/chip and efficiency vs the single-device point."""
+    import jax
+    from .sharded import ShardedPlan, make_mesh
+    from ..utils.profiling import time_fn
+
+    results = []
+    for d in device_counts:
+        if d > len(jax.devices()):
+            break
+        p = params_for(d)
+        sp = ShardedPlan(p, make_mesh(d))
+        rng = np.random.default_rng(0)
+        a = sp.shard_coeffs(rng.integers(0, p.q, (batch, p.n)))
+        b = sp.shard_coeffs(rng.integers(0, p.q, (batch, p.n)))
+        stats = time_fn(lambda: sp.polymul_jit(a, b), iters=iters)
+        bf = 3 * batch * (p.n // 2) * p.log2n
+        per_chip = bf / stats["mean_s"] / d
+        results.append({"devices": d, "n": p.n, "mean_s": stats["mean_s"],
+                        "butterflies_per_s_per_chip": per_chip})
+    if results:
+        base = results[0]["butterflies_per_s_per_chip"]
+        for r in results:
+            r["efficiency"] = r["butterflies_per_s_per_chip"] / base
+    return results

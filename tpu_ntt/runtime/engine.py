@@ -1,0 +1,185 @@
+"""PolyMultEngine — the host application layer.
+
+The TPU-native re-expression of the reference's host flow
+(``NTT_PCIECommunicationv2.c:109-224`` ``NTT_HARDWARE_EXE``):
+
+=================================  =====================================
+reference host step                engine equivalent
+=================================  =====================================
+PCIE_Open / dlopen driver          jax device discovery (+ optional
+                                   native core load)
+generate_params/generate_twiddles  plan construction (mode 0)
+SendCommand(mode1/2) + DMA A, B    jax.device_put of the operands
+SendCommand(3) + busy/done poll    one synchronous jitted call
+PCIE_DmaFifoRead of C              device_get of the result
+progressive loopback self-tests    :meth:`self_test` levels
+(v3 PIO, v4 RAM/SGDMA tests)
+=================================  =====================================
+
+The engine also dispatches across backends (XLA plan, Pallas kernel,
+incomplete-NTT plan, big-q RNS plan, sharded plan) from a single
+``multiply`` entry — the "one accelerator, many modes" role of the
+PolyMult FSM (PolyMult.v:110-124).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import numpy as np
+
+__all__ = ["PolyMultEngine", "EngineReport"]
+
+
+@dataclasses.dataclass
+class EngineReport:
+    """Self-test / run report (the printf protocol log analog)."""
+    steps: list[tuple[str, bool, str]] = dataclasses.field(
+        default_factory=list)
+
+    def add(self, name: str, ok: bool, detail: str = ""):
+        self.steps.append((name, ok, detail))
+
+    @property
+    def ok(self) -> bool:
+        return all(s[1] for s in self.steps)
+
+    def __str__(self):
+        return "\n".join(f"[{'OK' if ok else 'FAIL'}] {name}"
+                         + (f" — {d}" if d else "")
+                         for name, ok, d in self.steps)
+
+
+class PolyMultEngine:
+    """High-level dispatcher over every transform backend."""
+
+    def __init__(self, n: int = 256, q: int = 12289, mesh=None,
+                 backend: str = "auto"):
+        from ..utils.jaxcache import enable_compile_cache
+        enable_compile_cache()
+        self.n, self.q = n, q
+        self.mesh = mesh
+        self.backend = backend
+        self._plan: Any = None
+        self._kind = ""
+        self._build()
+
+    def _build(self):
+        """Mode-0 analog: choose + build the plan (twiddle generation)."""
+        from ..params import make_params
+        n, q = self.n, self.q
+        if q.bit_length() > 29:
+            from ..bigq import BigQPlan
+            from ..params import find_params
+            p = make_params(n, q) if (q - 1) % (2 * n) == 0 else None
+            if p is None:
+                raise ValueError("big q must be NTT-friendly (q ≡ 1 mod 2n)")
+            self._plan = BigQPlan(p, mesh=self.mesh)
+            self._kind = "bigq"
+        elif (q - 1) % (2 * n) != 0:
+            from ..schemes import IncompletePlan
+            self._plan = IncompletePlan(n, q)
+            self._kind = "incomplete"
+        elif self.mesh is not None:
+            from ..parallel.sharded import ShardedPlan
+            self._plan = ShardedPlan(make_params(n, q), self.mesh)
+            self._kind = "sharded"
+        elif self.backend == "pallas":
+            from ..ops.butterfly import PallasPolymul
+            self._plan = PallasPolymul(make_params(n, q))
+            self._kind = "pallas"
+        else:
+            from ..transform import Plan
+            self._plan = Plan(make_params(n, q))
+            self._kind = "xla"
+
+    @property
+    def kind(self) -> str:
+        return self._kind
+
+    @property
+    def plan(self):
+        return self._plan
+
+    # ------------------------------------------------------------------
+
+    def multiply(self, a, b) -> np.ndarray:
+        """The full mode-1/2/3 + readback flow; host arrays in/out."""
+        if self._kind == "bigq":
+            return self._plan.polymul(np.asarray(a, dtype=np.uint64),
+                                      np.asarray(b, dtype=np.uint64))
+        if self._kind == "sharded":
+            sp = self._plan
+            return sp.unshard(sp.polymul_jit(
+                sp.shard_coeffs(np.atleast_2d(a)),
+                sp.shard_coeffs(np.atleast_2d(b))))
+        a = np.asarray(a, dtype=np.int64).astype(np.int32)
+        b = np.asarray(b, dtype=np.int64).astype(np.int32)
+        if self._kind == "pallas":
+            return np.asarray(self._plan.polymul(a, b))
+        return np.asarray(self._plan.polymul_jit(a, b))
+
+    # ------------------------------------------------------------------
+
+    def self_test(self, verbose: bool = False) -> EngineReport:
+        """Progressive bring-up, mirroring the reference's loopback ladder
+        (v3 PIO loopback -> v4 RAM r/w -> v4 SGDMA loopback -> real flow
+        with known vectors, NTT_PCIEComunicationv4.c:317-466, v2:231-238).
+        """
+        import jax
+        import jax.numpy as jnp
+        rep = EngineReport()
+        t0 = time.time()
+
+        # 1. device transfer loopback (the RAM write/read-back test).
+        # Routed through a jit identity: on tunneled TPU backends the raw
+        # device_put RPC path has been observed to wedge while the compiled
+        # argument-transfer path stays healthy.
+        x = np.arange(max(16, self.n), dtype=np.int32) % 251
+        back = np.asarray(jax.jit(lambda v: v)(jnp.asarray(x)))
+        rep.add("device loopback", np.array_equal(back, x),
+                f"{x.nbytes} bytes h2d+d2h")
+
+        # 2. transform round-trip (engine-level NTT sanity,
+        #    test_generator.py:157-170 analog)
+        if self._kind in ("xla", "pallas", "sharded"):
+            from ..transform import Plan
+            from ..params import make_params
+            plan = self._plan if self._kind == "xla" else Plan(
+                make_params(self.n, self.q))
+            rng = np.random.default_rng(0)
+            v = rng.integers(0, self.q, (2, self.n)).astype(np.int32)
+            f = plan.forward_jit(v)
+            g = np.asarray(plan.inverse_jit(f))
+            fix = plan.arith.pointwise_fix
+            if fix != 1:
+                g = (g.astype(np.int64) * pow(fix, -1, self.q)) % self.q
+            rep.add("ntt/intt round-trip", np.array_equal(g, v))
+
+        # 3. known small product — the RTL testbench vector
+        #    (1+2x+3x^2)(2+2x) = 2+6x+10x^2+6x^3 (NTT_PolyMul_test.v:165-196)
+        a = np.zeros(self.n, dtype=np.int64)
+        b = np.zeros(self.n, dtype=np.int64)
+        a[:3] = [1, 2, 3]
+        b[:2] = [2, 2]
+        c = np.asarray(self.multiply(a[None], b[None]))[0]
+        ok = (list(c[:4].astype(np.int64)) == [2, 6, 10, 6]
+              and not c[4:].any())
+        rep.add("known product vector", bool(ok), "(1+2x+3x²)(2+2x)")
+
+        # 4. random product vs independent oracle
+        from .. import ref
+        rng = np.random.default_rng(1)
+        ra = rng.integers(0, self.q, self.n)
+        rb = rng.integers(0, self.q, self.n)
+        rc = np.asarray(self.multiply(ra[None], rb[None]))[0]
+        want = ref.schoolbook_negacyclic(ra.astype(object),
+                                        rb.astype(object), self.q)
+        rep.add("random product vs schoolbook",
+                bool(np.array_equal(rc.astype(object), want.astype(object))),
+                f"total {time.time() - t0:.2f}s, backend={self._kind}")
+        if verbose:
+            print(rep)
+        return rep
