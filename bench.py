@@ -2,18 +2,18 @@
 
 Methodology mirrors the reference harness (NTT_Software_Evaluations/
 NTT-256/time_testing256.c:144-187): warm-up, then a fixed number of timed
-iterations, mean wall-clock — but over batched device-resident arrays with
-one fused XLA graph per call.
+iterations (device-synchronised), mean wall-clock — over batched
+device-resident arrays with one fused XLA graph per call.
 
 Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Additional configs / sweep details go to stderr.
 
 vs_baseline: the reference FPGA's butterfly speed-of-light is
 PE × f_clk = 8 butterflies/cycle × 50 MHz = 4.0e8 butterflies/s
-(defines.v:27 PE_NUMBER=8; DE2i-150 50 MHz board clock, and the design
-closes timing well below that — nttParametric.sta.rpt restricted Fmax
-18.29 MHz — so this is a *generous* baseline).  vs_baseline is our
-butterflies/sec/chip divided by that number.
+(defines.v:27 PE_NUMBER=8; DE2i-150 50 MHz board clock — generous, since
+the design's restricted Fmax is 18.29 MHz per nttParametric.sta.rpt).
+vs_baseline is our butterflies/sec/chip divided by that number.
 """
 
 from __future__ import annotations
@@ -32,57 +32,124 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_polymul(config: str, batch: int, iters: int, warmup: int,
-                  backend: str = "xla"):
-    import jax
-    from tpu_ntt.utils.jaxcache import enable_compile_cache
-    enable_compile_cache()
-    import jax.numpy as jnp
-    from tpu_ntt.params import preset
-    from tpu_ntt.transform import Plan
+class _HostResult:
+    """Duck-typed wrapper so host-computed results fit the timing loop."""
 
-    p = preset(config)
-    log(f"[bench] backend={backend}")
-    if backend == "pallas":
-        from tpu_ntt.ops.butterfly import PallasPolymul
-        plan = PallasPolymul(p)
-        plan.polymul_jit = plan.polymul
-    else:
-        plan = Plan(p)
-    rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.integers(0, p.q, (batch, p.n)), jnp.int32)
-    b = jnp.asarray(rng.integers(0, p.q, (batch, p.n)), jnp.int32)
+    def __init__(self, v):
+        self.v = v
 
-    t0 = time.time()
-    c = plan.polymul_jit(a, b)
-    c.block_until_ready()
-    log(f"[bench] {config} batch={batch} compile+first-run "
-        f"{time.time() - t0:.1f}s on {jax.devices()[0].device_kind}")
+    def block_until_ready(self):
+        return self.v
 
+
+def _timeit(fn, iters, warmup):
     for _ in range(warmup):
-        c = plan.polymul_jit(a, b)
-    c.block_until_ready()
-
-    times = []
+        r = fn()
+    r.block_until_ready()
+    ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        c = plan.polymul_jit(a, b)
-        c.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.mean(times))
+        fn().block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    # median is the headline stat: the tunneled device path occasionally
+    # stalls a single dispatch for tens of ms, which poisons the mean
+    return float(np.median(ts)), float(np.mean(ts)), float(np.min(ts))
 
-    # sanity: bit-exact vs the NumPy oracle on one row
+
+def _butterflies(n, log2n, batch):
+    return 3 * batch * (n // 2) * log2n      # 2 fwd + 1 inv NTT
+
+
+def bench_config(config: str, batch: int, iters: int, warmup: int,
+                 backend: str = "xla"):
+    """Returns (butterflies/s, detail dict)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_ntt.utils.jaxcache import enable_compile_cache
+    enable_compile_cache()
     from tpu_ntt import ref
-    row = np.asarray(c[0])
-    want = ref.schoolbook_negacyclic(np.asarray(a[0]), np.asarray(b[0]), p.q)
-    if not np.array_equal(row, want):
-        raise AssertionError("bench result failed correctness check")
+    from tpu_ntt.params import find_params, preset
+    from tpu_ntt.transform import Plan
 
-    butterflies = 3 * batch * (p.n // 2) * p.log2n   # 2 fwd + 1 inv NTT
-    bf_per_s = butterflies / dt
-    log(f"[bench] mean {dt * 1e3:.3f} ms  "
-        f"{batch / dt:,.0f} polymuls/s  {bf_per_s / 1e9:.1f} G butterflies/s")
-    return bf_per_s
+    rng = np.random.default_rng(0)
+
+    if config == "kyber":                    # incomplete NTT, n=256 q=3329
+        from tpu_ntt.schemes import kyber_plan
+        plan = kyber_plan()
+        n, q = 256, 3329
+        a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
+        b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
+        fn = lambda: plan.polymul_jit(a, b)
+        bf = 3 * batch * 2 * (128 // 2) * 7  # 2 size-128 sub-transforms each
+    elif config == "bigq62":                 # RNS channels + CRT, n=4096
+        from tpu_ntt.bigq import BigQPlan
+        p = find_params(4096, 62)
+        plan = BigQPlan(p)
+        n, q = p.n, p.q
+        ah = rng.integers(0, q, (batch, n)).astype(np.uint64)
+        bh = rng.integers(0, q, (batch, n)).astype(np.uint64)
+        a, b = ah, bh
+        fn = lambda: _HostResult(plan.polymul(ah, bh))
+        bf = len(plan.primes) * _butterflies(n, p.log2n, batch)
+    elif config == "large":                  # single-chip n=2^16 transform
+        # four-step (ShardedPlan on a 1-device mesh) — far better compile
+        # time and VMEM locality than a flat 16-stage graph at this size
+        from tpu_ntt.parallel.sharded import ShardedPlan, make_mesh
+        p = find_params(1 << 16, 28)
+        plan = ShardedPlan(p, make_mesh(1))
+        n, q = p.n, p.q
+        a = plan.shard_coeffs(rng.integers(0, q, (batch, n)))
+        b = plan.shard_coeffs(rng.integers(0, q, (batch, n)))
+        fn = lambda: plan.polymul_jit(a, b)
+        bf = _butterflies(n, p.log2n, batch)
+    else:                                    # preset name: sw256/hw256/...
+        p = preset(config)
+        if backend == "pallas":
+            from tpu_ntt.ops.butterfly import PallasPolymul
+            kplan = PallasPolymul(p)
+            fn_impl = kplan.polymul
+        else:
+            fn_impl = Plan(p).polymul_jit
+        n, q = p.n, p.q
+        a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
+        b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
+        fn = lambda: fn_impl(a, b)
+        bf = _butterflies(n, p.log2n, batch)
+
+    t0 = time.time()
+    out = fn().block_until_ready()
+    log(f"[bench] {config} backend={backend} batch={batch} n={n} "
+        f"compile+first-run {time.time() - t0:.1f}s on "
+        f"{jax.devices()[0].device_kind}")
+
+    med_s, mean_s, min_s = _timeit(fn, iters, warmup)
+
+    # correctness spot-check on one row
+    if config == "large":
+        out = plan.unshard(out)
+        a = plan.unshard(a)
+        b = plan.unshard(b)
+    row = np.asarray(out)[0].astype(object)
+    a0 = np.asarray(a[0]).astype(object)
+    b0 = np.asarray(b[0]).astype(object)
+    want = ref.schoolbook_negacyclic(a0, b0, q).astype(object)
+    if not np.array_equal(row, want):
+        raise AssertionError(f"bench {config} failed correctness check")
+
+    bf_per_s = bf / med_s
+    log(f"[bench] {config}: median {med_s * 1e3:.3f} ms (mean "
+        f"{mean_s * 1e3:.3f}, min {min_s * 1e3:.3f})  "
+        f"{batch / med_s:,.0f} polymuls/s  "
+        f"{bf_per_s / 1e9:.1f} G butterflies/s")
+    return bf_per_s, {"config": config, "n": n, "q": int(q), "batch": batch,
+                      "median_ms": round(med_s * 1e3, 4),
+                      "mean_ms": round(mean_s * 1e3, 4),
+                      "polymuls_per_s": round(batch / med_s),
+                      "gbutterflies_per_s": round(bf_per_s / 1e9, 2)}
+
+
+SWEEP = [("sw256", 8192), ("hw256", 8192), ("kyber", 8192),
+         ("dilithium256", 4096), ("large", 16), ("bigq62", 64)]
 
 
 def main():
@@ -92,10 +159,23 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--sweep", action="store_true",
+                    help="run every config class; details to stderr")
     args = ap.parse_args()
 
-    bf_per_s = bench_polymul(args.config, args.batch, args.iters,
-                             args.warmup, args.backend)
+    if args.sweep:
+        details = []
+        for cfg, batch in SWEEP:
+            try:
+                _, d = bench_config(cfg, batch, max(5, args.iters // 3),
+                                    args.warmup)
+                details.append(d)
+            except Exception as e:          # keep sweeping
+                log(f"[bench] {cfg} FAILED: {e}")
+        log("[bench] sweep: " + json.dumps(details))
+
+    bf_per_s, _ = bench_config(args.config, args.batch, args.iters,
+                               args.warmup, args.backend)
     print(json.dumps({
         "metric": f"ntt_butterflies_per_sec_per_chip ({args.config} "
                   f"negacyclic polymul, batch={args.batch})",

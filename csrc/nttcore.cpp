@@ -141,6 +141,21 @@ void ntt_rns_split(const u64* a, size_t n, const u64* primes, int k,
     }
 }
 
+// Barrett reduction helpers for fixed moduli p < 2^30: one u128 multiply
+// (cheap) instead of a u128 division (slow) per modular product.
+struct Barrett {
+    u64 p;
+    u64 m;                                   // floor(2^64 / p)
+    void init(u64 p_) { p = p_; m = (u64)(((u128)1 << 64) / p_); }
+    // reduce z < 2^63: quotient estimate via mulhi, at most 2 corrections
+    inline u64 red(u64 z) const {
+        u64 qh = (u64)(((u128)z * m) >> 64);
+        u64 r = z - qh * p;
+        while (r >= p) r -= p;
+        return r;
+    }
+};
+
 // Garner mixed-radix CRT of k residue rows -> value mod q, with signed
 // centering: the reconstructed integer x in [0, M) is interpreted in
 // (-M/2, M/2] before reduction (negacyclic convolutions are signed).
@@ -184,18 +199,28 @@ void ntt_crt_garner(const int32_t* residues, int k, size_t n,
         Pq[i] = ntt_mulmod64(Pq[i - 1], primes[i - 1] % q, q);
     u64 Mq = ntt_mulmod64(Pq[k - 1], primes[k - 1] % q, q);  // M mod q
 
-    u64 v[64];
+    // Barrett contexts per channel prime (all < 2^29)
+    Barrett bar[64];
+    for (int i = 0; i < k; i++) bar[i].init(primes[i]);
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (size_t j = 0; j < n; j++) {
-        // Garner digits
-        v[0] = (u64)residues[j] % primes[0];
+        u64 v[64];
+        // Garner digits — all arithmetic in Barrett-reduced small primes
+        v[0] = bar[0].red((u64)residues[j]);
         for (int i = 1; i < k; i++) {
-            u64 p = primes[i];
-            // t = v_{i-1}; t = t*p_{i-2} + v_{i-2}; ... (mod p)
-            u64 t = v[i - 1] % p;
+            const Barrett& B = bar[i];
+            u64 p = B.p;
+            // t = (((v_{i-1}·p_{i-2} + v_{i-2})·p_{i-3} + ...) mod p
+            u64 t = B.red(v[i - 1]);
             for (int m = i - 2; m >= 0; m--)
-                t = (ntt_mulmod64(t, primes[m] % p, p) + v[m]) % p;
-            u64 ci = (u64)residues[(size_t)i * n + j] % p;
-            v[i] = ntt_mulmod64((ci + p - t) % p, Cinv[i], p);
+                t = B.red(B.red(t * (primes[m] % p)) + v[m]);
+            u64 ci = (u64)residues[(size_t)i * n + j];
+            if (ci >= p) ci = B.red(ci);
+            u64 d = ci >= t ? ci - t : ci + p - t;
+            v[i] = B.red(d * Cinv[i]);            // d, Cinv < 2^29: z < 2^58
         }
         // signed centering: x > (M-1)/2  <=>  digits lexicographically
         // greater from the top
@@ -206,10 +231,14 @@ void ntt_crt_garner(const int32_t* residues, int k, size_t n,
                 break;
             }
         }
-        // x mod q via the weight residues
-        u64 x = 0;
-        for (int i = 0; i < k; i++)
-            x = (x + ntt_mulmod64(v[i] % q, Pq[i], q)) % q;
+        // x mod q via the weight residues (u128 divisions, amortised:
+        // accumulate the full sum in 128 bits, reduce once per two terms)
+        u128 acc = 0;
+        for (int i = 0; i < k; i++) {
+            acc += (u128)v[i] * Pq[i];            // < 2^29+62 per term
+            if ((i & 1) || i == k - 1) acc %= q;  // keep below 2^92
+        }
+        u64 x = (u64)acc;
         if (negative) x = (x + q - Mq % q) % q;
         out[j] = x;
     }

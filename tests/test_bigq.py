@@ -76,9 +76,7 @@ def test_python_crt_fallback_matches_native(rng):
     a = rng.integers(0, p.q, (1, 256)).astype(np.uint64)
     b = rng.integers(0, p.q, (1, 256)).astype(np.uint64)
     ra, rb = plan._split(a), plan._split(b)
-    prods = np.stack([
-        np.asarray(cp.polymul_jit(ra[i], rb[i])).astype(np.int32)
-        for i, cp in enumerate(plan.channel_plans)])
+    prods = np.asarray(plan.stacked.polymul_jit(ra, rb)).astype(np.int32)
     via_python = plan._crt_python(prods.reshape(len(plan.primes), -1))
     if plan._native is not None:
         via_native = plan._native.crt_garner(

@@ -22,12 +22,14 @@ from __future__ import annotations
 
 import functools
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
-from .params import NTTParams, is_prime, make_params
+from .params import NTTParams, is_prime, make_params, modinv, stage_powers
 from .transform import Plan
 
-__all__ = ["BigQPlan", "select_rns_primes"]
+__all__ = ["BigQPlan", "StackedChannelPlan", "select_rns_primes"]
 
 
 def select_rns_primes(n: int, min_product_bits: int,
@@ -47,6 +49,122 @@ def select_rns_primes(n: int, min_product_bits: int,
             f"not enough NTT-friendly channel primes for n={n}: "
             f"got {bits:.0f} of {min_product_bits} bits")
     return out
+
+
+class StackedChannelPlan:
+    """All RNS channels in ONE jitted graph.
+
+    Per-channel 15-bit digit-serial Montgomery arithmetic vectorised over a
+    leading channel axis: the moduli/constants become (k,1,1,1,1) arrays and
+    every butterfly stage operates on a (k, B, blocks, 2, width) view — one
+    compile, one h2d per operand, one d2h, instead of k sequential plans.
+    Used for n <= 8192; larger rings go through per-channel four-step plans.
+    """
+
+    M15 = (1 << 15) - 1
+
+    def __init__(self, n: int, primes: list[int]):
+        self.n = n
+        self.primes = [int(p) for p in primes]
+        self.k = len(self.primes)
+        self.plist = [make_params(n, p) for p in self.primes]
+        self.log2n = self.plist[0].log2n
+        R = 1 << 30
+
+        def ch(vals):
+            return np.array(vals, dtype=np.int64).astype(np.int32).reshape(
+                self.k, 1, 1, 1, 1)
+
+        self._q = ch(self.primes)
+        self._q0 = ch([p & self.M15 for p in self.primes])
+        self._q1 = ch([p >> 15 for p in self.primes])
+        self._qp = ch([(-pow(p, -1, 1 << 15)) % (1 << 15)
+                       for p in self.primes])
+        # per-channel stage tables in Montgomery form (w·R mod p), stacked:
+        # forward = psi-merged CT std2rev, inverse = psi^-1-merged GS rev2std
+        def stacked(inverse):
+            rows = []
+            for p in self.plist:
+                base = p.omega_inv if inverse else p.omega
+                psi_b = p.psi_inv if inverse else p.psi
+                flat = stage_powers(p, base, rev=True, psi_base=psi_b)
+                rows.append(flat * R % p.q)
+            return np.stack(rows).astype(np.int64).astype(np.int32)
+
+        self._twf = stacked(False)            # (k, n)
+        self._twi = stacked(True)
+        self._final = ch([p.n_inv * R % p.q * R % p.q
+                          for p in self.plist])  # n^-1·R² (cancels mul's R^-1)
+
+    # -- vectorised per-channel Montgomery REDC (see ops/modmul.MontArith) --
+    def _redc(self, H, Mid, L0):
+        m = jnp.int32(self.M15)
+        u0 = ((L0 & m) * self._qp) & m
+        t1 = (L0 + u0 * self._q0) >> 15
+        A1 = Mid + u0 * self._q1 + t1
+        a1h, a1l = A1 >> 15, A1 & m
+        u1 = (a1l * self._qp) & m
+        t2 = (a1l + u1 * self._q0) >> 15
+        res = H + a1h + u1 * self._q1 + t2
+        res = res - self._q
+        res = res + ((res >> 31) & self._q)
+        res = res - self._q
+        return res + ((res >> 31) & self._q)
+
+    def _mul(self, x, y):
+        m = jnp.int32(self.M15)
+        x1, x0 = x >> 15, x & m
+        y1, y0 = y >> 15, y & m
+        return self._redc(x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
+
+    def _add(self, x, y):
+        r = x + y - self._q
+        return r + ((r >> 31) & self._q)
+
+    def _sub(self, x, y):
+        r = x - y
+        return r + ((r >> 31) & self._q)
+
+    def _stages(self, x, tw, kind):
+        k, B = x.shape[0], x.shape[1]
+        n = self.n
+        for s in range(self.log2n):
+            if kind == "ct":                  # std2rev: t blocks of width d
+                t = 1 << s
+                d = n // (2 * t)
+                v = x.reshape(k, B, t, 2, d)
+                w = tw[:, t:2 * t].reshape(k, 1, t, 1, 1)
+            else:                             # gs rev2std: d-wide blocks
+                d = 1 << s
+                t = n // (2 * d)
+                v = x.reshape(k, B, t, 2, d)
+                w = tw[:, t:2 * t].reshape(k, 1, t, 1, 1)
+            lo = v[:, :, :, 0, :][:, :, :, None, :]
+            hi = v[:, :, :, 1, :][:, :, :, None, :]
+            if kind == "ct":
+                mm = self._mul(hi, w)
+                nlo, nhi = self._add(lo, mm), self._sub(lo, mm)
+            else:
+                nlo = self._add(lo, hi)
+                nhi = self._mul(self._sub(lo, hi), w)
+            x = jnp.concatenate([nlo, nhi], axis=3).reshape(k, B, n)
+        return x
+
+    def _polymul(self, ra, rb):
+        """(k, B, n) int32 residues -> (k, B, n) channel products."""
+        fa = self._stages(ra, jnp.asarray(self._twf), "ct")
+        fb = self._stages(rb, jnp.asarray(self._twf), "ct")
+        c = self._mul(fa[:, :, None, None, :],
+                      fb[:, :, None, None, :])[:, :, 0, 0, :]
+        c = self._stages(c, jnp.asarray(self._twi), "gs")
+        out = self._mul(c[:, :, None, None, :],
+                        jnp.broadcast_to(self._final,
+                                         (self.k, 1, 1, 1, 1)))
+        return out[:, :, 0, 0, :]
+
+    @functools.cached_property
+    def polymul_jit(self):
+        return jax.jit(self._polymul)
 
 
 class BigQPlan:
@@ -69,10 +187,19 @@ class BigQPlan:
         for p in self.primes:
             self.M *= p
         assert self.M > 2 * n * (q - 1) ** 2
+        # large flat stage-by-stage graphs compile poorly; beyond 8192
+        # points route channels through the four-step plan even on one
+        # device (better compile time and VMEM locality)
+        if mesh is None and n > 8192:
+            from .parallel.sharded import make_mesh
+            mesh = make_mesh(1)
         self.mesh = mesh
+        self.stacked = None
         if mesh is None:
-            self.channel_plans = [Plan(make_params(n, p))
-                                  for p in self.primes]
+            # all channels in one jitted graph: one transfer each way,
+            # one compile, instead of k sequential plans
+            self.stacked = StackedChannelPlan(n, self.primes)
+            self.channel_plans = []
         else:
             from .parallel.sharded import ShardedPlan
             self.channel_plans = [ShardedPlan(make_params(n, p), mesh)
@@ -131,12 +258,12 @@ class BigQPlan:
         a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
         b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
         ra, rb = self._split(a), self._split(b)
+        if self.stacked is not None:
+            prods = np.asarray(self.stacked.polymul_jit(ra, rb))
+            return self._reconstruct(prods)
         outs = []
         for i, plan in enumerate(self.channel_plans):
-            if self.mesh is None:
-                ci = np.asarray(plan.polymul_jit(ra[i], rb[i]))
-            else:
-                ci = plan.unshard(plan.polymul_jit(
-                    plan.shard_coeffs(ra[i]), plan.shard_coeffs(rb[i])))
+            ci = plan.unshard(plan.polymul_jit(
+                plan.shard_coeffs(ra[i]), plan.shard_coeffs(rb[i])))
             outs.append(ci.astype(np.int32))
         return self._reconstruct(np.stack(outs))

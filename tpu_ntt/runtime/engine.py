@@ -82,9 +82,12 @@ class PolyMultEngine:
             from ..schemes import IncompletePlan
             self._plan = IncompletePlan(n, q)
             self._kind = "incomplete"
-        elif self.mesh is not None:
-            from ..parallel.sharded import ShardedPlan
-            self._plan = ShardedPlan(make_params(n, q), self.mesh)
+        elif self.mesh is not None or n > 8192:
+            # large rings: four-step even on one device (compile time +
+            # VMEM locality); multi-device when a mesh is given
+            from ..parallel.sharded import ShardedPlan, make_mesh
+            mesh = self.mesh if self.mesh is not None else make_mesh(1)
+            self._plan = ShardedPlan(make_params(n, q), mesh)
             self._kind = "sharded"
         elif self.backend == "pallas":
             from ..ops.butterfly import PallasPolymul
