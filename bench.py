@@ -106,8 +106,10 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         p = preset(config)
         if backend == "pallas":
             from tpu_ntt.ops.butterfly import PallasPolymul
-            kplan = PallasPolymul(p)
-            fn_impl = kplan.polymul
+            fn_impl = PallasPolymul(p).polymul
+        elif backend == "mxu":
+            from tpu_ntt.ops.matmul_ntt import MatmulNTT
+            fn_impl = MatmulNTT(p).polymul_jit
         else:
             fn_impl = Plan(p).polymul_jit
         n, q = p.n, p.q
@@ -158,7 +160,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas", "mxu"])
     ap.add_argument("--sweep", action="store_true",
                     help="run every config class; details to stderr")
     args = ap.parse_args()

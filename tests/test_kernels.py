@@ -69,3 +69,50 @@ def test_pallas_other_n(rng):
     c = np.asarray(pk.polymul(a, b))
     np.testing.assert_array_equal(
         c[0], ref.schoolbook_negacyclic(a[0], b[0], p.q))
+
+
+# ---------------------------------------------------------------------------
+# MXU matmul backend
+# ---------------------------------------------------------------------------
+
+def test_mxu_polymul_bit_exact(rng):
+    from tpu_ntt.ops.matmul_ntt import MatmulNTT
+    p = preset("sw256")
+    m = MatmulNTT(p)
+    a = rng.integers(0, p.q, (6, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (6, p.n)).astype(np.int32)
+    c = np.asarray(m.polymul_jit(a, b))
+    for i in range(6):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], p.q))
+
+
+def test_mxu_exactness_edge(rng):
+    """n=1024 with all-(q-1) inputs sits at the f32-accumulation bound
+    (127²·1024 < 2^24) — must still be exact."""
+    from tpu_ntt.ops.matmul_ntt import MatmulNTT
+    p = make_params(1024, 12289)
+    m = MatmulNTT(p)
+    a = np.full((2, 1024), p.q - 1, dtype=np.int32)
+    c = np.asarray(m.polymul_jit(a, a))
+    np.testing.assert_array_equal(
+        c[0], ref.schoolbook_negacyclic(a[0], a[0], p.q))
+
+
+def test_mxu_unsupported():
+    from tpu_ntt.ops.matmul_ntt import MatmulNTT, supported as mxu_supported
+    assert not mxu_supported(preset("dilithium256"))     # q too big
+    assert not mxu_supported(make_params(2048, 12289))   # n too big
+    with pytest.raises(ValueError):
+        MatmulNTT(preset("dilithium256"))
+
+
+def test_mxu_matches_xla_plan(rng):
+    from tpu_ntt.ops.matmul_ntt import MatmulNTT
+    from tpu_ntt.transform import Plan
+    p = preset("hw256")
+    a = rng.integers(0, p.q, (3, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (3, p.n)).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(MatmulNTT(p).polymul_jit(a, b)),
+        np.asarray(Plan(p).polymul_jit(a, b)))

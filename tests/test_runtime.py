@@ -154,3 +154,23 @@ def test_checkpointed_run(tmp_path, rng):
     # mismatched job shape is refused
     with pytest.raises(ValueError):
         CheckpointedRun(tmp_path / "job", total=12, chunk=4)
+
+
+def test_watchdog_deadline():
+    import time as _t
+    from tpu_ntt.utils.watchdog import DeviceTimeout, retry, with_deadline
+    assert with_deadline(lambda: 42, 5.0) == 42
+    with pytest.raises(DeviceTimeout):
+        with_deadline(lambda: _t.sleep(3), 0.2)
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert retry(flaky, attempts=3, backoff_s=0.01) == "ok"
+    with pytest.raises(RuntimeError):
+        retry(lambda: (_ for _ in ()).throw(RuntimeError("always")),
+              attempts=2, backoff_s=0.01)

@@ -156,3 +156,18 @@ def test_values_stay_canonical(plan, rng):
     assert f.min() >= 0 and f.max() < p.q
     c = np.asarray(plan.polymul_jit(x, x))
     assert c.min() >= 0 and c.max() < p.q
+
+
+def test_cyclic_ring_polymul(rng):
+    """A cyclic-only parameter point (psi=0): Plan computes the product in
+    Z_q[x]/(x^n - 1)."""
+    from tpu_ntt.params import make_params
+    p = make_params(256, 3329, negacyclic=False)   # 2-power part of q-1 is 256
+    assert not p.negacyclic
+    plan = Plan(p)
+    a = rng.integers(0, p.q, (2, 256)).astype(np.int32)
+    b = rng.integers(0, p.q, (2, 256)).astype(np.int32)
+    c = np.asarray(plan.polymul_jit(a, b))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_cyclic(a[i], b[i], p.q))

@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .params import NTTParams, is_prime, make_params, modinv, stage_powers
-from .transform import Plan
+from .params import NTTParams, is_prime, make_params, stage_powers
 
 __all__ = ["BigQPlan", "StackedChannelPlan", "select_rns_primes"]
 

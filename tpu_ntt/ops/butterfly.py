@@ -39,7 +39,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import NTTParams, stage_powers
-from ..utils.bitrev import bit_reverse_int
 
 __all__ = ["PallasPolymul", "supported"]
 

@@ -72,7 +72,6 @@ class PolyMultEngine:
         n, q = self.n, self.q
         if q.bit_length() > 29:
             from ..bigq import BigQPlan
-            from ..params import find_params
             p = make_params(n, q) if (q - 1) % (2 * n) == 0 else None
             if p is None:
                 raise ValueError("big q must be NTT-friendly (q ≡ 1 mod 2n)")
@@ -93,6 +92,10 @@ class PolyMultEngine:
             from ..ops.butterfly import PallasPolymul
             self._plan = PallasPolymul(make_params(n, q))
             self._kind = "pallas"
+        elif self.backend == "mxu":
+            from ..ops.matmul_ntt import MatmulNTT
+            self._plan = MatmulNTT(make_params(n, q))
+            self._kind = "mxu"
         else:
             from ..transform import Plan
             self._plan = Plan(make_params(n, q))
@@ -122,6 +125,8 @@ class PolyMultEngine:
         b = np.asarray(b, dtype=np.int64).astype(np.int32)
         if self._kind == "pallas":
             return np.asarray(self._plan.polymul(a, b))
+        if self._kind == "mxu":
+            return np.asarray(self._plan.polymul_jit(a, b))
         return np.asarray(self._plan.polymul_jit(a, b))
 
     # ------------------------------------------------------------------

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .params import NTTParams, make_params
+from .params import make_params
 from .transform import Plan
 from .utils.bitrev import bit_reverse_indices
 

@@ -1,0 +1,60 @@
+"""Failure detection: deadlines and retries around device work.
+
+The reference's only failure detector is bounded busy/done polling with
+error printouts (``NTT_PCIECommunicationv2.c:56-103``,
+``NTT_PCIEComunicationv4.c:291-303``).  XLA dispatch is synchronous, so
+the analog is a deadline on the blocking call: run it on a worker thread,
+raise :class:`DeviceTimeout` if the device (or its transport) wedges, and
+optionally retry — tunneled TPU transports in particular can stall for
+minutes and recover.
+
+The worker thread is left running after a timeout (a blocked device call
+cannot be cancelled from Python); callers should treat DeviceTimeout as
+"give up on this device session", checkpoint (utils/checkpoint.py) and
+restart — the same recovery posture as the reference's mandated reboot
+after reprogramming (Software_Hardware_Comunnicator/README.md:24-26).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import time
+
+__all__ = ["DeviceTimeout", "with_deadline", "retry"]
+
+
+class DeviceTimeout(TimeoutError):
+    """A device call exceeded its deadline (device/transport wedged)."""
+
+
+def with_deadline(fn, timeout_s: float, *args, **kwargs):
+    """Run fn(*args) on a worker thread; raise DeviceTimeout if it does
+    not finish within timeout_s."""
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(fn, *args, **kwargs)
+    try:
+        return fut.result(timeout=timeout_s)
+    except concurrent.futures.TimeoutError:
+        raise DeviceTimeout(
+            f"device call exceeded {timeout_s:.0f}s deadline — transport "
+            f"may be wedged; checkpoint and restart the session") from None
+    finally:
+        ex.shutdown(wait=False)
+
+
+def retry(fn, attempts: int = 3, timeout_s: float | None = None,
+          backoff_s: float = 30.0):
+    """Call fn up to ``attempts`` times, with an optional per-attempt
+    deadline and linear backoff between attempts.  Returns fn's result or
+    re-raises the last failure."""
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            if timeout_s is None:
+                return fn()
+            return with_deadline(fn, timeout_s)
+        except Exception as e:                      # noqa: BLE001
+            last = e
+            if i + 1 < attempts:
+                time.sleep(backoff_s * (i + 1))
+    raise last
