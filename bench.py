@@ -42,14 +42,29 @@ class _HostResult:
         return self.v
 
 
+def _sync(r):
+    """Force completion.  On the tunneled PJRT backend block_until_ready
+    can return before execution finishes; fetching a value is the only
+    trustworthy barrier.  fn results are (out, witness) pairs where the
+    witness is a scalar depending on the whole computation."""
+    if isinstance(r, tuple):
+        out, w = r
+        int(np.asarray(w))
+        return out
+    if hasattr(r, "block_until_ready"):
+        rv = r.block_until_ready()       # jax arrays return self;
+        return rv if rv is not None else r   # _HostResult returns its value
+    return r
+
+
 def _timeit(fn, iters, warmup):
     for _ in range(warmup):
         r = fn()
-    r.block_until_ready()
+    _sync(r)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fn().block_until_ready()
+        _sync(fn())
         ts.append(time.perf_counter() - t0)
     # median is the headline stat: the tunneled device path occasionally
     # stalls a single dispatch for tens of ms, which poisons the mean
@@ -60,8 +75,41 @@ def _butterflies(n, log2n, batch):
     return 3 * batch * (n // 2) * log2n      # 2 fwd + 1 inv NTT
 
 
+def _chain(polymul_fn, inner: int):
+    """Wrap a polymul in a device-side repeat: each iteration feeds its
+    output back as the next input (valid: outputs are canonical ring
+    elements), so one dispatch performs ``inner`` products.  Amortises the
+    tunnel's per-dispatch round-trip latency (observed anywhere from
+    30 µs to ~30 ms depending on relay health) out of the measurement."""
+    import jax
+
+    def chained(a, b):
+        def body(_, ab):
+            x, y = ab
+            return polymul_fn(x, y), x
+        out, _ = jax.lax.fori_loop(0, inner, body, (a, b))
+        # scalar witness depending on every element: forces real execution
+        # when fetched (block_until_ready is unreliable on this transport)
+        return out, jnp.max(out)
+
+    import jax.numpy as jnp
+    return jax.jit(chained)
+
+
+def _with_witness(fn):
+    """Jit-wrap a device fn to also return a max-reduction witness."""
+    import jax
+    import jax.numpy as jnp
+
+    def wrapped(a, b):
+        out = fn(a, b)
+        return out, jnp.max(out)
+
+    return jax.jit(wrapped)
+
+
 def bench_config(config: str, batch: int, iters: int, warmup: int,
-                 backend: str = "xla"):
+                 backend: str = "xla", inner: int = 16):
     """Returns (butterflies/s, detail dict)."""
     import jax
     import jax.numpy as jnp
@@ -79,8 +127,10 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         n, q = 256, 3329
         a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
         b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-        fn = lambda: plan.polymul_jit(a, b)
-        bf = 3 * batch * 2 * (128 // 2) * 7  # 2 size-128 sub-transforms each
+        fn_c = _chain(plan.polymul, inner)
+        fn = lambda: fn_c(a, b)
+        check_fn = lambda: plan.polymul_jit(a, b)
+        bf = inner * 3 * batch * 2 * (128 // 2) * 7   # 2 size-128 sub-NTTs
     elif config == "bigq62":                 # RNS channels + CRT, n=4096
         from tpu_ntt.bigq import BigQPlan
         p = find_params(4096, 62)
@@ -89,6 +139,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         ah = rng.integers(0, q, (batch, n)).astype(np.uint64)
         bh = rng.integers(0, q, (batch, n)).astype(np.uint64)
         a, b = ah, bh
+        inner = 1                            # host CRT path: no device chain
         fn = lambda: _HostResult(plan.polymul(ah, bh))
         bf = len(plan.primes) * _butterflies(n, p.log2n, batch)
     elif config == "large":                  # single-chip n=2^16 transform
@@ -100,8 +151,10 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         n, q = p.n, p.q
         a = plan.shard_coeffs(rng.integers(0, q, (batch, n)))
         b = plan.shard_coeffs(rng.integers(0, q, (batch, n)))
-        fn = lambda: plan.polymul_jit(a, b)
-        bf = _butterflies(n, p.log2n, batch)
+        fn_c = _chain(plan.polymul_jit, inner)
+        fn = lambda: fn_c(a, b)
+        check_fn = lambda: plan.polymul_jit(a, b)
+        bf = inner * _butterflies(n, p.log2n, batch)
     else:                                    # preset name: sw256/hw256/...
         p = preset(config)
         if backend == "pallas":
@@ -115,18 +168,30 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         n, q = p.n, p.q
         a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
         b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-        fn = lambda: fn_impl(a, b)
-        bf = _butterflies(n, p.log2n, batch)
+        if backend == "xla":
+            plan_x = Plan(p)
+            fn_c = _chain(plan_x.polymul, inner)
+            fn = lambda: fn_c(a, b)
+            check_fn = lambda: plan_x.polymul_jit(a, b)
+        else:
+            inner = 1                        # pallas/mxu wrappers: single call
+            fn_w = _with_witness(fn_impl)
+            fn = lambda: fn_w(a, b)
+        bf = inner * _butterflies(n, p.log2n, batch)
 
     t0 = time.time()
-    out = fn().block_until_ready()
+    out = _sync(fn())
     log(f"[bench] {config} backend={backend} batch={batch} n={n} "
         f"compile+first-run {time.time() - t0:.1f}s on "
         f"{jax.devices()[0].device_kind}")
 
     med_s, mean_s, min_s = _timeit(fn, iters, warmup)
 
-    # correctness spot-check on one row
+    # correctness spot-check on one row (a single UNchained product —
+    # the timed fn may be an inner-repeat chain)
+    if "check_fn" in locals():
+        out = check_fn()
+        out.block_until_ready()
     if config == "large":
         out = plan.unshard(out)
         a = plan.unshard(a)
@@ -139,14 +204,14 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         raise AssertionError(f"bench {config} failed correctness check")
 
     bf_per_s = bf / med_s
-    log(f"[bench] {config}: median {med_s * 1e3:.3f} ms (mean "
+    log(f"[bench] {config}: inner={inner} median {med_s * 1e3:.3f} ms (mean "
         f"{mean_s * 1e3:.3f}, min {min_s * 1e3:.3f})  "
-        f"{batch / med_s:,.0f} polymuls/s  "
+        f"{inner * batch / med_s:,.0f} polymuls/s  "
         f"{bf_per_s / 1e9:.1f} G butterflies/s")
     return bf_per_s, {"config": config, "n": n, "q": int(q), "batch": batch,
                       "median_ms": round(med_s * 1e3, 4),
                       "mean_ms": round(mean_s * 1e3, 4),
-                      "polymuls_per_s": round(batch / med_s),
+                      "polymuls_per_s": round(inner * batch / med_s),
                       "gbutterflies_per_s": round(bf_per_s / 1e9, 2)}
 
 
@@ -161,6 +226,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--backend", default="xla", choices=["xla", "pallas", "mxu"])
+    ap.add_argument("--inner", type=int, default=16,
+                    help="device-side chained repeats per dispatch")
     ap.add_argument("--sweep", action="store_true",
                     help="run every config class; details to stderr")
     args = ap.parse_args()
@@ -170,14 +237,14 @@ def main():
         for cfg, batch in SWEEP:
             try:
                 _, d = bench_config(cfg, batch, max(5, args.iters // 3),
-                                    args.warmup)
+                                    args.warmup, inner=args.inner)
                 details.append(d)
             except Exception as e:          # keep sweeping
                 log(f"[bench] {cfg} FAILED: {e}")
         log("[bench] sweep: " + json.dumps(details))
 
     bf_per_s, _ = bench_config(args.config, args.batch, args.iters,
-                               args.warmup, args.backend)
+                               args.warmup, args.backend, args.inner)
     print(json.dumps({
         "metric": f"ntt_butterflies_per_sec_per_chip ({args.config} "
                   f"negacyclic polymul, batch={args.batch})",

@@ -17,7 +17,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "NTTParams", "make_params", "find_params", "preset", "PRESETS",
-    "params", "ref", "Plan", "ShardedPlan", "BigQPlan",
+    "params", "ref", "Plan", "ShardedPlan", "BigQPlan", "Ring",
+    "IncompletePlan", "PolyMultEngine",
 ]
 
 
@@ -32,4 +33,13 @@ def __getattr__(name):
     if name == "BigQPlan":
         from .bigq import BigQPlan
         return BigQPlan
+    if name == "Ring":
+        from .ring import Ring
+        return Ring
+    if name == "IncompletePlan":
+        from .schemes import IncompletePlan
+        return IncompletePlan
+    if name == "PolyMultEngine":
+        from .runtime.engine import PolyMultEngine
+        return PolyMultEngine
     raise AttributeError(name)

@@ -1,0 +1,92 @@
+"""User-facing polynomial-ring API.
+
+The one-import surface for users switching from the reference's host
+application: a :class:`Ring` object is Z_q[x]/(x^n ± 1) with elementwise
+ring arithmetic and NTT-domain helpers, auto-dispatching to the right
+backend (full / incomplete / big-q / sharded) via the engine.
+
+>>> R = Ring(256, 12289)
+>>> c = R.mul(a, b)                 # negacyclic product, any batch shape
+>>> fa = R.ntt(a); R.intt(fa)       # transform-domain round trip
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .params import make_params
+
+__all__ = ["Ring"]
+
+
+class Ring:
+    """Z_q[x]/(x^n + 1) (negacyclic=True) or /(x^n - 1)."""
+
+    def __init__(self, n: int, q: int, negacyclic: bool = True, mesh=None,
+                 backend: str = "auto"):
+        from .runtime.engine import PolyMultEngine
+        self.n, self.q = n, q
+        self.negacyclic = negacyclic
+        if not negacyclic:
+            # cyclic ring: direct plan (engine dispatch assumes negacyclic)
+            from .transform import Plan
+            self._plan = Plan(make_params(n, q, negacyclic=False))
+            self._engine = None
+        else:
+            self._engine = PolyMultEngine(n=n, q=q, mesh=mesh,
+                                          backend=backend)
+            self._plan = getattr(self._engine, "plan", None)
+
+    # -- ring arithmetic ------------------------------------------------
+
+    def mul(self, a, b) -> np.ndarray:
+        """Polynomial product in the ring (batched over leading axes)."""
+        if self._engine is None:
+            return np.asarray(self._plan.polymul_jit(
+                np.asarray(a, dtype=np.int64).astype(np.int32),
+                np.asarray(b, dtype=np.int64).astype(np.int32)))
+        a2 = np.atleast_2d(np.asarray(a))
+        b2 = np.atleast_2d(np.asarray(b))
+        out = self._engine.multiply(a2, b2)
+        return out.reshape(np.shape(a)) if np.ndim(a) == 1 else out
+
+    def add(self, a, b) -> np.ndarray:
+        return (np.asarray(a, dtype=np.int64) + np.asarray(b)) % self.q
+
+    def sub(self, a, b) -> np.ndarray:
+        return (np.asarray(a, dtype=np.int64) - np.asarray(b)) % self.q
+
+    def scalar_mul(self, c: int, a) -> np.ndarray:
+        return np.asarray(a, dtype=np.int64) * (c % self.q) % self.q
+
+    def random(self, shape, rng=None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        return rng.integers(0, self.q, shape).astype(np.int64)
+
+    # -- transform domain ----------------------------------------------
+
+    def ntt(self, a):
+        """Forward transform (library order: bit-reversed / backend
+        specific); pair only with this ring's intt/pointwise."""
+        if self._plan is None or not hasattr(self._plan, "forward"):
+            raise NotImplementedError(
+                f"backend {self._engine.kind} exposes polymul only")
+        return self._plan.forward(np.asarray(a, dtype=np.int64)
+                                  .astype(np.int32))
+
+    def intt(self, fa) -> np.ndarray:
+        import numpy as _np
+        out = np.asarray(self._plan.inverse(fa))
+        fix = getattr(self._plan.arith, "pointwise_fix", 1)
+        if fix != 1:
+            out = (out.astype(object) * pow(fix, -1, self.q) % self.q)
+            out = _np.array(out.tolist(), dtype=np.int64)
+        return out
+
+    def pointwise(self, fa, fb):
+        return self._plan.pointwise(fa, fb)
+
+    def __repr__(self):
+        sign = "+" if self.negacyclic else "-"
+        kind = self._engine.kind if self._engine else "cyclic-xla"
+        return f"Ring(Z_{self.q}[x]/(x^{self.n} {sign} 1), backend={kind})"

@@ -49,6 +49,9 @@ class IncompletePlan:
     """
 
     def __init__(self, n: int, q: int, levels: int | None = None):
+        from .params import is_prime
+        if not is_prime(q):
+            raise ValueError(f"q={q} is not prime")
         two_pow = _max_two_power(q - 1)
         if levels is None:
             levels = max(0, (2 * n // two_pow).bit_length() - 1)
