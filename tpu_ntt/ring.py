@@ -75,12 +75,10 @@ class Ring:
                                   .astype(np.int32))
 
     def intt(self, fa) -> np.ndarray:
-        import numpy as _np
         out = np.asarray(self._plan.inverse(fa))
         fix = getattr(self._plan.arith, "pointwise_fix", 1)
         if fix != 1:
-            out = (out.astype(object) * pow(fix, -1, self.q) % self.q)
-            out = _np.array(out.tolist(), dtype=np.int64)
+            out = out.astype(np.int64) * pow(fix, -1, self.q) % self.q
         return out
 
     def pointwise(self, fa, fb):

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.modmul import Arith, select_arith
-from .params import NTTParams, psi_powers, stage_powers
+from .params import NTTParams, stage_powers
 from .utils.bitrev import bit_reverse_indices
 
 __all__ = ["Plan", "polymul", "ntt", "intt"]
@@ -121,13 +121,6 @@ class Plan:
                 for c in ct)
             tabs.append((blocks, width, shaped))
         return tabs
-
-    @functools.lru_cache(maxsize=None)
-    def _twist_tables(self, inverse: bool, extra_scale: int = 1):
-        p = self.params
-        base = p.psi_inv if inverse else p.psi
-        tw = psi_powers(p, base, extra_scale % p.q)
-        return self.arith.const_table(tw)
 
     @functools.lru_cache(maxsize=None)
     def _scalar_table(self, c: int):

@@ -32,6 +32,7 @@ class Timer:
         self.warmup, self.iters = warmup, iters
 
     def run(self, fn) -> dict:
+        r = None
         for _ in range(self.warmup):
             r = fn()
         _block(r)
