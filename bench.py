@@ -109,7 +109,7 @@ def _with_witness(fn):
 
 
 def bench_config(config: str, batch: int, iters: int, warmup: int,
-                 backend: str = "xla", inner: int = 16):
+                 backend: str = "auto", inner: int = 16):
     """Returns (butterflies/s, detail dict)."""
     import jax
     import jax.numpy as jnp
@@ -157,26 +157,29 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         bf = inner * _butterflies(n, p.log2n, batch)
     else:                                    # preset name: sw256/hw256/...
         p = preset(config)
+        if backend == "auto":
+            # fastest available: fused Pallas kernel on TPU, else XLA plan
+            from tpu_ntt.ops.butterfly import supported
+            on_tpu = jax.devices()[0].platform != "cpu"
+            backend = "pallas" if (on_tpu and supported(p)) else "xla"
+            log(f"[bench] auto backend -> {backend}")
         if backend == "pallas":
             from tpu_ntt.ops.butterfly import PallasPolymul
-            fn_impl = PallasPolymul(p).polymul
+            impl = PallasPolymul(p)
+            fn_impl, check_impl = impl.polymul, impl.polymul
         elif backend == "mxu":
             from tpu_ntt.ops.matmul_ntt import MatmulNTT
-            fn_impl = MatmulNTT(p).polymul_jit
+            impl = MatmulNTT(p)
+            fn_impl, check_impl = impl.polymul, impl.polymul_jit
         else:
-            fn_impl = Plan(p).polymul_jit
+            impl = Plan(p)
+            fn_impl, check_impl = impl.polymul, impl.polymul_jit
         n, q = p.n, p.q
         a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
         b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-        if backend == "xla":
-            plan_x = Plan(p)
-            fn_c = _chain(plan_x.polymul, inner)
-            fn = lambda: fn_c(a, b)
-            check_fn = lambda: plan_x.polymul_jit(a, b)
-        else:
-            inner = 1                        # pallas/mxu wrappers: single call
-            fn_w = _with_witness(fn_impl)
-            fn = lambda: fn_w(a, b)
+        fn_c = _chain(fn_impl, inner)
+        fn = lambda: fn_c(a, b)
+        check_fn = lambda: check_impl(a, b)
         bf = inner * _butterflies(n, p.log2n, batch)
 
     t0 = time.time()
@@ -225,7 +228,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas", "mxu"])
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas", "mxu"])
     ap.add_argument("--inner", type=int, default=16,
                     help="device-side chained repeats per dispatch")
     ap.add_argument("--sweep", action="store_true",

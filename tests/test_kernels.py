@@ -9,7 +9,8 @@ from tpu_ntt.ops.butterfly import PallasPolymul, supported
 from tpu_ntt.params import make_params, preset
 
 
-@pytest.mark.parametrize("name", ["sw256", "hw256", "kyber128"])
+@pytest.mark.parametrize("name", ["sw256", "hw256", "kyber128",
+                                  "dilithium256"])
 def test_pallas_polymul_bit_exact(rng, name):
     p = preset(name)
     pk = PallasPolymul(p, tile=8, interpret=True)
@@ -56,9 +57,40 @@ def test_pallas_extreme_inputs():
 
 
 def test_pallas_unsupported_q():
-    assert not supported(preset("dilithium256"))
+    """Dilithium's 23-bit q takes the Montgomery kernel; q >= 2^29 has no
+    in-kernel strategy (that's the RNS/bigq path)."""
+    assert supported(preset("dilithium256"))
+    assert PallasPolymul(preset("dilithium256")).mont
+    from tpu_ntt.params import find_params
+    big = find_params(256, 30)
+    assert big.q >= (1 << 29)
+    assert not supported(big)
     with pytest.raises(ValueError):
-        PallasPolymul(preset("dilithium256"))
+        PallasPolymul(big)
+
+
+def test_pallas_mont_extreme_inputs():
+    """All-(q-1) inputs at the Montgomery bound q just under 2^29."""
+    from tpu_ntt.params import find_params
+    p = find_params(256, 29)
+    assert (1 << 28) < p.q < (1 << 29)
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    a = np.full((8, p.n), p.q - 1, dtype=np.int32)
+    c = np.asarray(pk.polymul(a, a))
+    want = ref.schoolbook_negacyclic(
+        a[0].astype(object), a[0].astype(object), p.q)
+    np.testing.assert_array_equal(c[0].astype(object), want)
+
+
+def test_pallas_mont_matches_xla_plan(rng):
+    from tpu_ntt.transform import Plan
+    p = preset("dilithium256")
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    plan = Plan(p)
+    a = rng.integers(0, p.q, (8, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (8, p.n)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(pk.polymul(a, b)),
+                                  np.asarray(plan.polymul_jit(a, b)))
 
 
 def test_pallas_other_n(rng):

@@ -1,7 +1,8 @@
 """Fused Pallas TPU kernel: whole negacyclic polymul in one VMEM pass.
 
-The per-chip hot path for small-q parameter points (q < 2^14: the
-reference's q=7681/q=12289 and Kyber-style 3329).  One kernel performs
+The per-chip hot path for single-word moduli (odd q < 2^29: the
+reference's q=7681/q=12289, Kyber-style 3329, Dilithium 8380417, and RNS
+channel primes).  One kernel performs
 forward NTT(a), forward NTT(b), pointwise product and inverse NTT over a
 batch tile resident in VMEM — the TPU equivalent of the FPGA keeping the
 whole ring in banked BRAM across all stages (NTTN.v:94-117) instead of
@@ -22,10 +23,18 @@ brsel/brscramble permutation network (AddressGenerator.v:310-337) becomes
 two lane rotations per stage, and the per-position dense twiddle tables
 absorb all address generation.
 
-Arithmetic is *lazy* Shoup/Harvey: values live in [0, 2q) between
-butterflies (one conditional 2q-subtract per output), only the final n^-1
-scale maps back to canonical [0, q) — the int32-lane analog of the lazy
-bounds the reference's NTT-RED software documents (ntt_red.h:86-137).
+Arithmetic comes in two flavors selected by q:
+
+- q < 2^14 — *lazy* Shoup/Harvey: values live in [0, 2q) between
+  butterflies (one conditional 2q-subtract per output), only the final
+  n^-1 scale maps back to canonical [0, q) — the int32-lane analog of the
+  lazy bounds the reference's NTT-RED software documents
+  (ntt_red.h:86-137).
+- 2^14 <= q < 2^29 — 15-bit digit-serial Montgomery (the in-kernel twin
+  of ops/modmul.MontArith, itself the lane re-derivation of the FPGA's
+  word-level ModRed chain): twiddles stored in Montgomery form w·R mod q
+  exactly like the hardware's R-scaled twiddle stream
+  (test_generator.py:183-189), values canonical [0, q) between stages.
 """
 
 from __future__ import annotations
@@ -44,15 +53,16 @@ __all__ = ["PallasPolymul", "supported"]
 
 
 def supported(params: NTTParams) -> bool:
-    """Lazy-Shoup needs 2q < 2^15; lane rolls want n >= 2 lanes' worth."""
-    return params.q < (1 << 14) and params.n >= 8
+    """Lazy-Shoup (q < 2^14) or digit-serial Montgomery (odd q < 2^29);
+    lane rolls want n >= 2 lanes' worth."""
+    return params.q < (1 << 29) and params.q % 2 == 1 and params.n >= 8
 
 
 # ---------------------------------------------------------------------------
 # host-side table packing: dense per-position twiddles, (log2n, n)
 # ---------------------------------------------------------------------------
 
-def _dense_stage_tables(p: NTTParams, inverse: bool):
+def _dense_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
     """w_full[s, i] = twiddle of the butterfly pair containing position i
     at stage s (same value at the lo and hi position of a pair).
 
@@ -61,6 +71,10 @@ def _dense_stage_tables(p: NTTParams, inverse: bool):
     flat[t + j] with the *_rev table.
     Inverse: GS rev2std (psi^-1 merged): stage s has d=2^s-wide blocks,
     t=n/2d of them; block j uses flat[t + j].
+
+    Returns (table, shoup companion) — Shoup form by default; with
+    ``mont`` the table is in Montgomery form w·R mod q (R=2^30) and the
+    companion slot is the same-shape zero array (unused).
     """
     q = p.q
     base = p.omega_inv if inverse else p.omega
@@ -76,6 +90,9 @@ def _dense_stage_tables(p: NTTParams, inverse: bool):
             t = p.n // (2 * d)
         tw = flat[t:2 * t]                  # per block j
         out[s] = np.repeat(tw, 2 * d)       # both halves of each block
+    if mont:
+        out = out * (1 << 30) % q
+        return out.astype(np.int32), np.zeros_like(out, dtype=np.int32)
     sh = (out << 16) // q
     return out.astype(np.int32), sh.astype(np.int32)
 
@@ -164,27 +181,115 @@ def _make_kernel(p: NTTParams, tile: int):
     return kernel
 
 
+def _make_kernel_mont(p: NTTParams, tile: int):
+    """Fused polymul kernel for 2^14 <= q < 2^29: canonical [0, q) values,
+    15-bit digit-serial Montgomery multiplies (ops/modmul.MontArith
+    re-derived in-kernel; bounds identical — all intermediates < 2^31)."""
+    n, q = p.n, p.q
+    log2n = p.log2n
+    q32 = np.int32(q)
+    q0 = np.int32(q & ((1 << 15) - 1))
+    q1 = np.int32(q >> 15)
+    qp = np.int32((-pow(q, -1, 1 << 15)) % (1 << 15))
+    m15 = np.int32((1 << 15) - 1)
+
+    def csubq(x):
+        r = x - q32
+        return r + ((r >> 31) & q32)
+
+    def addm(x, y):
+        return csubq(x + y)
+
+    def subm(x, y):
+        r = x - y
+        return r + ((r >> 31) & q32)
+
+    def redc(H, Mid, L0):
+        u0 = ((L0 & m15) * qp) & m15
+        t1 = (L0 + u0 * q0) >> 15
+        A1 = Mid + u0 * q1 + t1
+        a1h, a1l = A1 >> 15, A1 & m15
+        u1 = (a1l * qp) & m15
+        t2 = (a1l + u1 * q0) >> 15
+        return csubq(csubq(H + a1h + u1 * q1 + t2))
+
+    def mul(x, y):
+        # x·y·R^-1 mod q; constants stored ·R cancel the R^-1
+        x1, x0 = x >> 15, x & m15
+        y1, y0 = y >> 15, y & m15
+        return redc(x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
+
+    def lo_mask(d):
+        i = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        return ((i // d) & 1) == 0
+
+    def fwd(x, twf):
+        for s in range(log2n):
+            d = n >> (s + 1)
+            mask = lo_mask(d)
+            up = pltpu.roll(x, n - d, 1)
+            down = pltpu.roll(x, d, 1)
+            w = twf[s, :][None, :]
+            hi_vals = jnp.where(mask, up, x)
+            m = mul(hi_vals, w)
+            x = jnp.where(mask, addm(x, m), subm(down, m))
+        return x
+
+    def inv(x, twi):
+        for s in range(log2n):
+            d = 1 << s
+            mask = lo_mask(d)
+            up = pltpu.roll(x, n - d, 1)
+            down = pltpu.roll(x, d, 1)
+            w = twi[s, :][None, :]
+            hi_vals = jnp.where(mask, up, x)
+            lo_vals = jnp.where(mask, x, down)
+            s_ = addm(lo_vals, hi_vals)
+            m = mul(subm(lo_vals, hi_vals), w)
+            x = jnp.where(mask, s_, m)
+        return x
+
+    # n^-1·R² mod q: one Montgomery mul applies n^-1·R, cancelling the
+    # stray R^-1 the pointwise data×data mul introduced
+    final = np.int32(p.n_inv * (1 << 30) % q * (1 << 30) % q)
+
+    def kernel(a_ref, b_ref, twf_ref, _twfsh_ref, twi_ref, _twish_ref,
+               out_ref):
+        twf, twi = twf_ref[...], twi_ref[...]
+        fa = fwd(a_ref[...], twf)
+        fb = fwd(b_ref[...], twf)
+        c = mul(fa, fb)
+        c = inv(c, twi)
+        out_ref[...] = mul(c, jnp.full((), final, jnp.int32))
+
+    return kernel
+
+
 class PallasPolymul:
     """Plan-level wrapper: fused-kernel polymul for (batch, n) int32."""
 
     def __init__(self, params: NTTParams, tile: int | None = None,
                  interpret: bool = False):
         if not supported(params):
-            raise ValueError(f"Pallas kernel needs q < 2^14, got {params.q}")
+            raise ValueError(
+                f"Pallas kernel needs odd q < 2^29, got {params.q}")
         self.params = params
+        self.mont = params.q >= (1 << 14)
         n = params.n
         if tile is None:
             tile = max(8, min(512, (1 << 18) // n))
         self.tile = tile
         self.interpret = interpret
-        self._twf, self._twfsh = _dense_stage_tables(params, inverse=False)
-        self._twi, self._twish = _dense_stage_tables(params, inverse=True)
+        self._twf, self._twfsh = _dense_stage_tables(
+            params, inverse=False, mont=self.mont)
+        self._twi, self._twish = _dense_stage_tables(
+            params, inverse=True, mont=self.mont)
 
     @functools.cached_property
     def _call(self):
         p = self.params
         n, tile = p.n, self.tile
-        kernel = _make_kernel(p, tile)
+        kernel = (_make_kernel_mont if self.mont else _make_kernel)(p, tile)
         tw_shape = (p.log2n, n)
         tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
