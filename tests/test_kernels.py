@@ -103,6 +103,22 @@ def test_pallas_other_n(rng):
         c[0], ref.schoolbook_negacyclic(a[0], b[0], p.q))
 
 
+@pytest.mark.parametrize("name", ["sw256", "dilithium256"])
+def test_pallas_standalone_transforms_match_plan(rng, name):
+    """fwd-only / inv-only kernels are drop-in twins of Plan.forward and
+    Plan.inverse (both arithmetic flavors)."""
+    from tpu_ntt.transform import Plan
+    p = preset(name)
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    plan = Plan(p)
+    x = rng.integers(0, p.q, (8, p.n)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(pk.forward(x)),
+                                  np.asarray(plan.forward_jit(x)))
+    f = np.asarray(plan.forward_jit(x))
+    np.testing.assert_array_equal(np.asarray(pk.inverse(f)),
+                                  np.asarray(plan.inverse_jit(f)))
+
+
 # ---------------------------------------------------------------------------
 # MXU matmul backend
 # ---------------------------------------------------------------------------

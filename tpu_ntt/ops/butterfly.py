@@ -101,7 +101,7 @@ def _dense_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(p: NTTParams, tile: int):
+def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul"):
     n, q = p.n, p.q
     log2n = p.log2n
     q32 = np.int32(q)
@@ -178,10 +178,18 @@ def _make_kernel(p: NTTParams, tile: int):
         c = shoup(c, np.int32(ninv), np.int32(ninv_sh))
         out_ref[...] = csubq(c)
 
-    return kernel
+    def fwd_kernel(a_ref, twf_ref, twfsh_ref, out_ref):
+        out_ref[...] = csubq(fwd(a_ref[...], twf_ref[...], twfsh_ref[...]))
+
+    def inv_kernel(a_ref, twi_ref, twish_ref, out_ref):
+        c = inv(a_ref[...], twi_ref[...], twish_ref[...])
+        c = shoup(c, np.int32(ninv), np.int32(ninv_sh))
+        out_ref[...] = csubq(c)
+
+    return {"polymul": kernel, "fwd": fwd_kernel, "inv": inv_kernel}[mode]
 
 
-def _make_kernel_mont(p: NTTParams, tile: int):
+def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
     """Fused polymul kernel for 2^14 <= q < 2^29: canonical [0, q) values,
     15-bit digit-serial Montgomery multiplies (ops/modmul.MontArith
     re-derived in-kernel; bounds identical — all intermediates < 2^31)."""
@@ -262,7 +270,16 @@ def _make_kernel_mont(p: NTTParams, tile: int):
         c = inv(c, twi)
         out_ref[...] = mul(c, jnp.full((), final, jnp.int32))
 
-    return kernel
+    def fwd_kernel(a_ref, twf_ref, _twfsh_ref, out_ref):
+        out_ref[...] = fwd(a_ref[...], twf_ref[...])
+
+    def inv_kernel(a_ref, twi_ref, _twish_ref, out_ref):
+        # standalone inverse mirrors Plan.inverse: the n^-1·R scale also
+        # cancels the R^-1 a preceding Montgomery pointwise mul left behind
+        c = inv(a_ref[...], twi_ref[...])
+        out_ref[...] = mul(c, jnp.full((), final, jnp.int32))
+
+    return {"polymul": kernel, "fwd": fwd_kernel, "inv": inv_kernel}[mode]
 
 
 class PallasPolymul:
@@ -338,3 +355,49 @@ class PallasPolymul:
     def polymul(self, a, b):
         """Negacyclic (psi set) or cyclic product; canonical in/out."""
         return self._full(jnp.asarray(a), jnp.asarray(b))
+
+    # -- standalone transforms (Plan.forward/inverse API parity) ---------
+
+    @functools.lru_cache(maxsize=None)
+    def _unary(self, mode: str):
+        """Jitted padded wrapper around the fwd-only/inv-only kernel."""
+        p = self.params
+        n, tile = p.n, self.tile
+        factory = _make_kernel_mont if self.mont else _make_kernel
+        kernel = factory(p, tile, mode)
+        tw_shape = (p.log2n, n)
+        tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        tabs = ((self._twf, self._twfsh) if mode == "fwd"
+                else (self._twi, self._twish))
+
+        def run(x):
+            lead = x.shape[:-1]
+            x = x.astype(jnp.int32).reshape(-1, n)
+            batch = x.shape[0]
+            pad = (-batch) % tile
+            if pad:
+                x = jnp.pad(x, ((0, pad), (0, 0)))
+            out = pl.pallas_call(
+                kernel,
+                grid=(x.shape[0] // tile,),
+                in_specs=[data_spec, tw_spec, tw_spec],
+                out_specs=data_spec,
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+                interpret=self.interpret,
+            )(x, *tabs)
+            return out[:batch].reshape(*lead, n)
+
+        return jax.jit(run)
+
+    def forward(self, x):
+        """Merged-twist CT std2rev forward NTT (Plan.forward twin)."""
+        return self._unary("fwd")(jnp.asarray(x))
+
+    def inverse(self, x):
+        """Merged GS rev2std inverse + n^-1·fix scale (Plan.inverse twin:
+        exact after a pointwise product; a bare forward->inverse roundtrip
+        carries the arith fix factor, as with Plan)."""
+        return self._unary("inv")(jnp.asarray(x))
