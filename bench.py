@@ -96,18 +96,6 @@ def _chain(polymul_fn, inner: int):
     return jax.jit(chained)
 
 
-def _with_witness(fn):
-    """Jit-wrap a device fn to also return a max-reduction witness."""
-    import jax
-    import jax.numpy as jnp
-
-    def wrapped(a, b):
-        out = fn(a, b)
-        return out, jnp.max(out)
-
-    return jax.jit(wrapped)
-
-
 def bench_config(config: str, batch: int, iters: int, warmup: int,
                  backend: str = "auto", inner: int = 16):
     """Returns (butterflies/s, detail dict)."""
@@ -230,8 +218,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "xla", "pallas", "mxu"])
-    ap.add_argument("--inner", type=int, default=16,
-                    help="device-side chained repeats per dispatch")
+    ap.add_argument("--inner", type=int, default=512,
+                    help="device-side chained repeats per dispatch (the "
+                         "tunneled dispatch round-trip can cost ~25 ms; "
+                         "long chains amortise it out of the measurement)")
     ap.add_argument("--sweep", action="store_true",
                     help="run every config class; details to stderr")
     args = ap.parse_args()

@@ -82,3 +82,34 @@ def test_python_crt_fallback_matches_native(rng):
         via_native = plan._native.crt_garner(
             prods.reshape(len(plan.primes), -1), plan.primes, p.q)
         np.testing.assert_array_equal(via_python, via_native)
+
+
+def test_pallas_channel_plan_matches_stacked(rng):
+    """The fused-Pallas channel backend is bit-identical to the jnp
+    stacked backend (per-channel products, pre-CRT)."""
+    from tpu_ntt.bigq import PallasChannelPlan, StackedChannelPlan
+    n = 256
+    primes = select_rns_primes(n, 60)[:2]
+    pk = PallasChannelPlan(n, primes, interpret=True)
+    st = StackedChannelPlan(n, primes)
+    ra = np.stack([rng.integers(0, p, (4, n)).astype(np.int32)
+                   for p in primes])
+    rb = np.stack([rng.integers(0, p, (4, n)).astype(np.int32)
+                   for p in primes])
+    np.testing.assert_array_equal(np.asarray(pk.polymul_jit(ra, rb)),
+                                  np.asarray(st.polymul_jit(ra, rb)))
+
+
+def test_bigq_pallas_backend_end_to_end(rng):
+    """BigQPlan with the Pallas channel backend (interpret on CPU) is
+    exact vs schoolbook."""
+    from tpu_ntt.bigq import PallasChannelPlan
+    p = find_params(256, 45)
+    plan = BigQPlan(p, backend="xla")
+    plan.stacked = PallasChannelPlan(256, plan.primes, interpret=True)
+    a = rng.integers(0, p.q, (1, 256)).astype(np.uint64)
+    b = rng.integers(0, p.q, (1, 256)).astype(np.uint64)
+    c = plan.polymul(a, b)
+    want = ref.schoolbook_negacyclic(a[0].astype(object),
+                                     b[0].astype(object), p.q)
+    np.testing.assert_array_equal(c[0].astype(object), want.astype(object))

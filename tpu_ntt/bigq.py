@@ -28,7 +28,8 @@ import numpy as np
 
 from .params import NTTParams, is_prime, make_params, stage_powers
 
-__all__ = ["BigQPlan", "StackedChannelPlan", "select_rns_primes"]
+__all__ = ["BigQPlan", "StackedChannelPlan", "PallasChannelPlan",
+           "select_rns_primes"]
 
 
 def select_rns_primes(n: int, min_product_bits: int,
@@ -166,6 +167,32 @@ class StackedChannelPlan:
         return jax.jit(self._polymul)
 
 
+class PallasChannelPlan:
+    """All RNS channels through fused Pallas kernels in ONE jitted graph.
+
+    Per-channel primes are < 2^29, so each channel is a
+    :class:`~tpu_ntt.ops.butterfly.PallasPolymul` (Montgomery flavor); the
+    k pallas_calls live in a single jit, so the whole big-q product is
+    still one device dispatch.  API-compatible with
+    :class:`StackedChannelPlan`.
+    """
+
+    def __init__(self, n: int, primes: list[int], interpret: bool = False):
+        from .ops.butterfly import PallasPolymul
+        self.n = n
+        self.primes = [int(p) for p in primes]
+        self.kernels = [PallasPolymul(make_params(n, p), interpret=interpret)
+                        for p in self.primes]
+
+    def _polymul(self, ra, rb):
+        return jnp.stack([k.polymul(ra[i], rb[i])
+                          for i, k in enumerate(self.kernels)])
+
+    @functools.cached_property
+    def polymul_jit(self):
+        return jax.jit(self._polymul)
+
+
 class BigQPlan:
     """Polynomial products in Z_q[x]/(x^n+1) for big q (up to ~2^62).
 
@@ -175,7 +202,8 @@ class BigQPlan:
     available, else a NumPy/Python fallback.
     """
 
-    def __init__(self, params: NTTParams, mesh=None, primes=None):
+    def __init__(self, params: NTTParams, mesh=None, primes=None,
+                 backend: str = "auto"):
         if params.q.bit_length() > 62:
             raise ValueError("q must fit in 62 bits")
         self.params = params
@@ -196,8 +224,16 @@ class BigQPlan:
         self.stacked = None
         if mesh is None:
             # all channels in one jitted graph: one transfer each way,
-            # one compile, instead of k sequential plans
-            self.stacked = StackedChannelPlan(n, self.primes)
+            # one compile, instead of k sequential plans.  On TPU the
+            # channels run as fused Pallas kernels; the jnp fallback covers
+            # CPU (and remains the cross-check in tests).
+            if backend == "auto":
+                import jax as _jax
+                backend = ("pallas" if _jax.default_backend() != "cpu"
+                           else "xla")
+            self.stacked = (PallasChannelPlan(n, self.primes)
+                            if backend == "pallas"
+                            else StackedChannelPlan(n, self.primes))
             self.channel_plans = []
         else:
             from .parallel.sharded import ShardedPlan
