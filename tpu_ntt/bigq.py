@@ -193,6 +193,114 @@ class PallasChannelPlan:
         return jax.jit(self._polymul)
 
 
+class DeviceCRT:
+    """Device-side RNS split + Garner reconstruction + mod-q recombine.
+
+    Keeps the whole big-q pipeline in one XLA graph: inputs/outputs cross
+    the host boundary as two packed int32 planes per operand
+    (ops/limb.pack_u64_planes) instead of k residue planes — the
+    transfer-volume analog of the reference streaming packed words over
+    its PCIe FIFOs rather than unpacked per-channel data.
+
+    Split: value = c3·2^47 + c2·2^31 + c1·2^16 + c0 (16-bit chunks), so
+    each channel residue is four Montgomery constant-multiplies.
+    Garner: classic mixed-radix digits v_j with per-channel int32
+    Montgomery arithmetic (O(k²) muls); the signed correction (values
+    above (M-1)/2 represent negatives) is a lexicographic digit compare
+    against (M-1)/2 and one extra (-M mod q) term.
+    Recombine: S = Σ v_j·(C_j mod q) + neg·((-M) mod q) through the
+    15-bit limb accumulator (ops/limb.LimbArith), exact for q < 2^62.
+    """
+
+    def __init__(self, primes: list[int], q: int):
+        from .ops.modmul import MontArith
+        from .ops.limb import LimbArith
+        if min(primes) <= (1 << 16):
+            raise ValueError("DeviceCRT needs channel primes > 2^16")
+        self.primes = [int(p) for p in primes]
+        self.k = len(self.primes)
+        self.q = q
+        self.ars = [MontArith(p) for p in self.primes]
+        self.limb = LimbArith(q)
+
+        M = 1
+        for p in self.primes:
+            M *= p
+        self.M = M
+        # split constants: [2^16, 2^31, 2^47] mod p, per channel
+        self._split_tabs = [
+            [ar.const_table(np.array([pow(2, e, p)]))
+             for e in (16, 31, 47)]
+            for p, ar in zip(self.primes, self.ars)]
+        # Garner constants: C_i = prod_{l<i} p_l
+        C = [1]
+        for p in self.primes[:-1]:
+            C.append(C[-1] * p)
+        self._C = C
+        self._c_mod_p = [
+            [self.ars[j].const_table(np.array([C[i] % self.primes[j]]))
+             for i in range(j)]
+            for j in range(self.k)]
+        self._invC = [
+            self.ars[j].const_table(
+                np.array([pow(C[j] % self.primes[j], -1, self.primes[j])]))
+            for j in range(self.k)]
+        # mixed-radix digits of (M-1)/2 (host ints)
+        half = (M - 1) // 2
+        self._half_digits = []
+        for p in self.primes:
+            self._half_digits.append(half % p)
+            half //= p
+        self._negM = (-M) % q
+
+    # ------------------------------------------------------------------
+
+    def split(self, lo, hi):
+        """(lo31, hi31) int32 planes -> (k, ...) channel residues."""
+        c0, c1, c2, c3 = self.limb.planes_to_16bit(lo, hi)
+        out = []
+        for ar, (t16, t31, t47) in zip(self.ars, self._split_tabs):
+            r = ar.add(ar.mul_const(c3, t47), ar.mul_const(c2, t31))
+            r = ar.add(r, ar.mul_const(c1, t16))
+            out.append(ar.add(r, ar.correct(c0)))
+        return jnp.stack(out)
+
+    def reconstruct(self, prods):
+        """(k, ...) canonical channel values -> (lo31, hi31) planes of
+        the signed-CRT value mod q."""
+        v = []
+        for j in range(self.k):
+            ar = self.ars[j]
+            t = prods[j]
+            acc = None
+            for i in range(j):
+                term = ar.mul_const(v[i], self._c_mod_p[j][i])
+                acc = term if acc is None else ar.add(acc, term)
+            if acc is not None:
+                t = ar.sub(t, acc)
+            v.append(ar.mul_const(t, self._invC[j]))
+
+        # negative iff X > (M-1)/2: lexicographic mixed-radix compare
+        gt = jnp.zeros(v[0].shape, bool)
+        eq = jnp.ones(v[0].shape, bool)
+        for j in reversed(range(self.k)):
+            d = jnp.int32(self._half_digits[j])
+            gt = gt | (eq & (v[j] > d))
+            eq = eq & (v[j] == d)
+        ind = gt.astype(jnp.int32)
+
+        n_terms = 2 * self.k + 1
+        acc = self.limb.zero_acc(v[0].shape, self.limb.L + 2)
+        m15 = jnp.int32((1 << 15) - 1)
+        for j in range(self.k):
+            cj = self._C[j] % self.q
+            self.limb.acc_mul_const(acc, v[j] & m15, cj)
+            self.limb.acc_mul_const(acc, v[j] >> 15, (cj << 15) % self.q)
+        self.limb.acc_mul_const(acc, ind, self._negM)
+        limbs = self.limb.finalize(acc, n_terms)
+        return self.limb.limbs_to_planes(limbs)
+
+
 class BigQPlan:
     """Polynomial products in Z_q[x]/(x^n+1) for big q (up to ~2^62).
 
@@ -235,10 +343,15 @@ class BigQPlan:
                             if backend == "pallas"
                             else StackedChannelPlan(n, self.primes))
             self.channel_plans = []
+            # device-side split/CRT: only two packed planes per operand
+            # cross the host link instead of k residue planes
+            self.dcrt = (DeviceCRT(self.primes, q)
+                         if min(self.primes) > (1 << 16) else None)
         else:
             from .parallel.sharded import ShardedPlan
             self.channel_plans = [ShardedPlan(make_params(n, p), mesh)
                                   for p in self.primes]
+            self.dcrt = None
 
     # ------------------------------------------------------------------
 
@@ -288,10 +401,28 @@ class BigQPlan:
 
     # ------------------------------------------------------------------
 
+    @functools.cached_property
+    def _fused_jit(self):
+        """One XLA graph: device split -> channel products -> device
+        Garner -> packed mod-q planes."""
+        dcrt, stacked = self.dcrt, self.stacked
+
+        def fused(lo_a, hi_a, lo_b, hi_b):
+            ra = dcrt.split(lo_a, hi_a)
+            rb = dcrt.split(lo_b, hi_b)
+            return dcrt.reconstruct(stacked._polymul(ra, rb))
+
+        return jax.jit(fused)
+
     def polymul(self, a, b) -> np.ndarray:
         """Negacyclic product of (batch, n) uint64 arrays, mod big q."""
         a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
         b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
+        if self.dcrt is not None:
+            from .ops.limb import pack_u64_planes, unpack_u64_planes
+            lo_c, hi_c = self._fused_jit(*pack_u64_planes(a),
+                                         *pack_u64_planes(b))
+            return unpack_u64_planes(np.asarray(lo_c), np.asarray(hi_c))
         ra, rb = self._split(a), self._split(b)
         if self.stacked is not None:
             prods = np.asarray(self.stacked.polymul_jit(ra, rb))
