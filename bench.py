@@ -111,13 +111,19 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
     if config == "kyber":                    # incomplete NTT, n=256 q=3329
         from tpu_ntt.schemes import kyber_plan
-        plan = kyber_plan()
         n, q = 256, 3329
+        if backend in ("auto", "pallas") and jax.devices()[0].platform != "cpu":
+            from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+            plan = PallasIncompletePolymul(n, q)
+            poly, check = plan.polymul, plan.polymul
+        else:
+            plan = kyber_plan()
+            poly, check = plan.polymul, plan.polymul_jit
         a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
         b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-        fn_c = _chain(plan.polymul, inner)
+        fn_c = _chain(poly, inner)
         fn = lambda: fn_c(a, b)
-        check_fn = lambda: plan.polymul_jit(a, b)
+        check_fn = lambda: check(a, b)
         bf = inner * 3 * batch * 2 * (128 // 2) * 7   # 2 size-128 sub-NTTs
     elif config == "bigq62":                 # RNS channels + CRT, n=4096
         from tpu_ntt.bigq import BigQPlan

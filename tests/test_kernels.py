@@ -164,3 +164,45 @@ def test_mxu_matches_xla_plan(rng):
     np.testing.assert_array_equal(
         np.asarray(MatmulNTT(p).polymul_jit(a, b)),
         np.asarray(Plan(p).polymul_jit(a, b)))
+
+
+# ---------------------------------------------------------------------------
+# incomplete-NTT fused kernel (Kyber)
+# ---------------------------------------------------------------------------
+
+def test_pallas_incomplete_kyber_bit_exact(rng):
+    from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+    pk = PallasIncompletePolymul(256, 3329, tile=8, interpret=True)
+    a = rng.integers(0, 3329, (9, 256)).astype(np.int32)   # odd batch
+    b = rng.integers(0, 3329, (9, 256)).astype(np.int32)
+    c = np.asarray(pk.polymul(a, b))
+    for i in range(9):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], 3329))
+    assert c.min() >= 0 and c.max() < 3329
+
+
+def test_pallas_incomplete_matches_incomplete_plan(rng):
+    from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+    from tpu_ntt.schemes import kyber_plan
+    pk = PallasIncompletePolymul(256, 3329, tile=8, interpret=True)
+    kp = kyber_plan()
+    a = rng.integers(0, 3329, (8, 256)).astype(np.int32)
+    b = rng.integers(0, 3329, (8, 256)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(pk.polymul(a, b)),
+                                  np.asarray(kp.polymul_jit(a, b)))
+
+
+def test_pallas_incomplete_extreme_inputs():
+    from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+    pk = PallasIncompletePolymul(256, 3329, tile=8, interpret=True)
+    a = np.full((8, 256), 3328, dtype=np.int32)
+    c = np.asarray(pk.polymul(a, a))
+    np.testing.assert_array_equal(
+        c[0], ref.schoolbook_negacyclic(a[0], a[0], 3329))
+
+
+def test_pallas_incomplete_rejects_big_q():
+    from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+    with pytest.raises(ValueError):
+        PallasIncompletePolymul(256, 8380417)

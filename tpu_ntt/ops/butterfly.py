@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import NTTParams, stage_powers
 
-__all__ = ["PallasPolymul", "supported"]
+__all__ = ["PallasPolymul", "PallasIncompletePolymul", "supported"]
 
 
 def supported(params: NTTParams) -> bool:
@@ -401,3 +401,197 @@ class PallasPolymul:
         exact after a pointwise product; a bare forward->inverse roundtrip
         carries the arith fix factor, as with Plan)."""
         return self._unary("inv")(jnp.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# incomplete (truncated) NTT: the fused Kyber-style kernel
+# ---------------------------------------------------------------------------
+
+def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
+    """Fused negacyclic polymul over Z_q[x]/(x^n+1) via an incomplete NTT
+    with ONE missing level (schemes.IncompletePlan levels=1, the ML-KEM
+    structure), entirely in VMEM.
+
+    Layout insight: splitting into even/odd sub-polynomials and running
+    the two size-m=n/2 merged CT transforms on the stride-2 interleaved
+    lanes is EXACTLY the full-size CT lane-roll schedule with the last
+    stage dropped (sub-stage roll distance d_sub appears as 2*d_sub full
+    lanes), with the sub-transform's dense twiddle row repeated per lane
+    pair.  The degree-1 base multiplication then acts on ADJACENT lane
+    pairs (2k, 2k+1):
+
+        c0 = a0*b0 + t_k*a1*b1 ;  c1 = a0*b1 + a1*b0,
+        t_k = psi_m^(2*bitrev(k)+1)
+
+    realised with two data multiplies, one constant multiply and two
+    pairwise lane swaps.  The inverse mirrors with the first stage
+    dropped and the final m^-1 scale.  Lazy Shoup arithmetic as in
+    _make_kernel (q < 2^14; Kyber q=3329).
+    """
+    m, q = sub_p.n, sub_p.q
+    assert n == 2 * m
+    log2n = sub_p.log2n + 1
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+
+    def csub2q(x):
+        r = x - two_q
+        return r + ((r >> 31) & two_q)
+
+    def csubq(x):
+        r = x - q32
+        return r + ((r >> 31) & q32)
+
+    def shoup(x, w, wsh):
+        t = (x * wsh) >> 16
+        return x * w - t * q32              # in [0, 2q)
+
+    def lo_mask(d):
+        i = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        return ((i // d) & 1) == 0
+
+    def fwd(x, twf, twfsh):
+        for s in range(log2n - 1):          # skip the last (d=1) stage
+            d = n >> (s + 1)
+            mask = lo_mask(d)
+            up = pltpu.roll(x, n - d, 1)
+            down = pltpu.roll(x, d, 1)
+            w = twf[s, :][None, :]
+            wsh = twfsh[s, :][None, :]
+            hi_vals = jnp.where(mask, up, x)
+            mm = shoup(hi_vals, w, wsh)
+            x = jnp.where(mask, csub2q(x + mm),
+                          csub2q(down - mm + two_q))
+        return x                            # [0, 2q), sub spectra interleaved
+
+    def inv(x, twi, twish):
+        for s in range(1, log2n):           # skip the first (d=1) stage
+            d = 1 << s
+            mask = lo_mask(d)
+            up = pltpu.roll(x, n - d, 1)
+            down = pltpu.roll(x, d, 1)
+            w = twi[s - 1, :][None, :]
+            wsh = twish[s - 1, :][None, :]
+            hi_vals = jnp.where(mask, up, x)
+            lo_vals = jnp.where(mask, x, down)
+            s_ = csub2q(lo_vals + hi_vals)
+            mm = shoup(csub2q(lo_vals - hi_vals + two_q), w, wsh)
+            x = jnp.where(mask, s_, mm)
+        return x
+
+    def mul_lazy(a, b):
+        z = a * b
+        hi = z >> 15
+        lo = z & np.int32((1 << 15) - 1)
+        c = (1 << 15) % q
+        r1 = shoup(hi, np.int32(c), np.int32((c << 16) // q))
+        r2 = shoup(lo, np.int32(1), np.int32((1 << 16) // q))
+        return csub2q(r1 + r2)              # [0, 2q)
+
+    def pair_swap(x):
+        even = lo_mask(1)
+        return jnp.where(even, pltpu.roll(x, n - 1, 1), pltpu.roll(x, 1, 1))
+
+    def basemul(fa, fb, t, tsh):
+        even = lo_mask(1)
+        term1 = mul_lazy(fa, fb)            # even: a0b0, odd: a1b1
+        cross = mul_lazy(fa, pair_swap(fb)) # even: a0b1, odd: a1b0
+        mt = shoup(pair_swap(term1), t, tsh)     # t, tsh are (1, n)
+        c_even = csub2q(csub2q(term1 + mt))
+        c_odd = csub2q(csub2q(cross + pair_swap(cross)))
+        return jnp.where(even, c_even, c_odd)
+
+    minv = sub_p.n_inv                      # m^-1: the sub-transform scale
+    minv_sh = (minv << 16) // q
+
+    def kernel(a_ref, b_ref, twf_ref, twfsh_ref, twi_ref, twish_ref,
+               t_ref, tsh_ref, out_ref):
+        twf, twfsh = twf_ref[...], twfsh_ref[...]
+        twi, twish = twi_ref[...], twish_ref[...]
+        fa = fwd(a_ref[...], twf, twfsh)
+        fb = fwd(b_ref[...], twf, twfsh)
+        c = basemul(fa, fb, t_ref[...], tsh_ref[...])
+        c = inv(c, twi, twish)
+        c = shoup(c, np.int32(minv), np.int32(minv_sh))
+        out_ref[...] = csubq(c)
+
+    return kernel
+
+
+class PallasIncompletePolymul:
+    """Fused-kernel negacyclic polymul for rings without 2n-th roots
+    (schemes.IncompletePlan levels=1 twin; e.g. Kyber n=256, q=3329)."""
+
+    def __init__(self, n: int, q: int, tile: int | None = None,
+                 interpret: bool = False):
+        from ..params import make_params
+        if q >= (1 << 14):
+            raise ValueError("incomplete Pallas kernel needs q < 2^14")
+        m = n // 2
+        self.n, self.q = n, q
+        self.sub_p = make_params(m, q)      # negacyclic size-m sub-ring
+        if tile is None:
+            tile = max(8, min(512, (1 << 18) // n))
+        self.tile = tile
+        self.interpret = interpret
+
+        # interleave the sub-transform's dense stage tables: sub position
+        # i lives at lanes 2i and 2i+1
+        def interleave(tab):
+            return np.repeat(tab, 2, axis=1)
+
+        twf, twfsh = _dense_stage_tables(self.sub_p, inverse=False)
+        twi, twish = _dense_stage_tables(self.sub_p, inverse=True)
+        self._twf, self._twfsh = interleave(twf), interleave(twfsh)
+        self._twi, self._twish = interleave(twi), interleave(twish)
+
+        # base-case evaluation points t_k = psi_m^(2*bitrev(k)+1) at both
+        # lanes of pair k (only read at even lanes)
+        from ..utils.bitrev import bit_reverse_indices
+        rev = bit_reverse_indices(m)
+        exps = (2 * rev + 1) % (2 * m)
+        t = np.array([pow(self.sub_p.psi, int(e), q) for e in exps],
+                     dtype=np.int64)
+        t = np.repeat(t, 2)
+        self._t = t.astype(np.int32)[None, :]
+        self._tsh = ((t << 16) // q).astype(np.int32)[None, :]
+
+    @functools.cached_property
+    def _full(self):
+        n, tile = self.n, self.tile
+        kernel = _make_incomplete_kernel(self.sub_p, n, tile)
+        log2m = self.sub_p.log2n
+        tw_spec = pl.BlockSpec((log2m, n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        t_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        tabs = (self._twf, self._twfsh, self._twi, self._twish,
+                self._t, self._tsh)
+
+        def full(a, b):
+            lead = a.shape[:-1]
+            a = a.astype(jnp.int32).reshape(-1, n)
+            b = b.astype(jnp.int32).reshape(-1, n)
+            batch = a.shape[0]
+            pad = (-batch) % tile
+            if pad:
+                a = jnp.pad(a, ((0, pad), (0, 0)))
+                b = jnp.pad(b, ((0, pad), (0, 0)))
+            out = pl.pallas_call(
+                kernel,
+                grid=(a.shape[0] // tile,),
+                in_specs=[data_spec, data_spec] + [tw_spec] * 4
+                + [t_spec] * 2,
+                out_specs=data_spec,
+                out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
+                interpret=self.interpret,
+            )(a, b, *tabs)
+            return out[:batch].reshape(*lead, n)
+
+        return jax.jit(full)
+
+    def polymul(self, a, b):
+        """Negacyclic product, canonical [0, q) in/out."""
+        return self._full(jnp.asarray(a), jnp.asarray(b))

@@ -78,9 +78,15 @@ class PolyMultEngine:
             self._plan = BigQPlan(p, mesh=self.mesh)
             self._kind = "bigq"
         elif (q - 1) % (2 * n) != 0:
-            from ..schemes import IncompletePlan
-            self._plan = IncompletePlan(n, q)
-            self._kind = "incomplete"
+            if (self.backend == "pallas" and q < (1 << 14)
+                    and (q - 1) % n == 0):
+                from ..ops.butterfly import PallasIncompletePolymul
+                self._plan = PallasIncompletePolymul(n, q)
+                self._kind = "incomplete-pallas"
+            else:
+                from ..schemes import IncompletePlan
+                self._plan = IncompletePlan(n, q)
+                self._kind = "incomplete"
         elif self.mesh is not None or n > 8192:
             # large rings: four-step even on one device (compile time +
             # VMEM locality); multi-device when a mesh is given
@@ -123,7 +129,7 @@ class PolyMultEngine:
                 sp.shard_coeffs(np.atleast_2d(b))))
         a = np.asarray(a, dtype=np.int64).astype(np.int32)
         b = np.asarray(b, dtype=np.int64).astype(np.int32)
-        if self._kind == "pallas":
+        if self._kind in ("pallas", "incomplete-pallas"):
             return np.asarray(self._plan.polymul(a, b))
         if self._kind == "mxu":
             return np.asarray(self._plan.polymul_jit(a, b))
