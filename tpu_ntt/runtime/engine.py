@@ -94,7 +94,8 @@ class PolyMultEngine:
             mesh = self.mesh if self.mesh is not None else make_mesh(1)
             self._plan = ShardedPlan(make_params(n, q), mesh)
             self._kind = "sharded"
-        elif self.backend == "pallas":
+        elif self.backend == "pallas" or (self.backend == "auto"
+                                          and self._tpu_default()):
             from ..ops.butterfly import PallasPolymul
             self._plan = PallasPolymul(make_params(n, q))
             self._kind = "pallas"
@@ -106,6 +107,17 @@ class PolyMultEngine:
             from ..transform import Plan
             self._plan = Plan(make_params(n, q))
             self._kind = "xla"
+
+    @staticmethod
+    def _tpu_default() -> bool:
+        """True when the default backend is a real accelerator and the
+        fused kernel is the right auto choice (CPU keeps the XLA plan:
+        Pallas would need interpret mode there)."""
+        import jax
+        try:
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
 
     @property
     def kind(self) -> str:
