@@ -212,8 +212,10 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                       "gbutterflies_per_s": round(bf_per_s / 1e9, 2)}
 
 
-SWEEP = [("sw256", 8192), ("hw256", 8192), ("kyber", 8192),
-         ("dilithium256", 4096), ("large", 16), ("bigq62", 64)]
+# (config, batch, inner): inner tuned so compile stays tractable while the
+# ~25 ms dispatch round-trip is amortised
+SWEEP = [("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
+         ("dilithium256", 8192, 256), ("large", 16, 16), ("bigq62", 64, 1)]
 
 
 def main():
@@ -234,14 +236,19 @@ def main():
 
     if args.sweep:
         details = []
-        for cfg, batch in SWEEP:
+        for cfg, batch, inner in SWEEP:
             try:
                 _, d = bench_config(cfg, batch, max(5, args.iters // 3),
-                                    args.warmup, inner=args.inner)
+                                    args.warmup, inner=inner)
                 details.append(d)
             except Exception as e:          # keep sweeping
                 log(f"[bench] {cfg} FAILED: {e}")
         log("[bench] sweep: " + json.dumps(details))
+        try:
+            with open("BENCH_SWEEP.json", "w") as f:
+                json.dump(details, f, indent=1)
+        except OSError:
+            pass
 
     bf_per_s, _ = bench_config(args.config, args.batch, args.iters,
                                args.warmup, args.backend, args.inner)

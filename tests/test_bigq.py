@@ -113,3 +113,33 @@ def test_bigq_pallas_backend_end_to_end(rng):
     want = ref.schoolbook_negacyclic(a[0].astype(object),
                                      b[0].astype(object), p.q)
     np.testing.assert_array_equal(c[0].astype(object), want.astype(object))
+
+
+def test_bigq_large_n_four_step_channels(rng):
+    """n > 8192 routes channels through four-step plans (single-device
+    mesh).  Sparse operands give an exact hand-computable oracle without
+    an O(n^2) schoolbook."""
+    from tpu_ntt.params import find_params
+    n = 16384
+    p = find_params(n, 45)
+    plan = BigQPlan(p)
+    assert plan.stacked is None and len(plan.channel_plans) >= 1
+    a = np.zeros((1, n), dtype=np.uint64)
+    b = np.zeros((1, n), dtype=np.uint64)
+    ia, ib = [3, n - 2], [7, n - 1]
+    va = [int(rng.integers(1, p.q)) for _ in ia]
+    vb = [int(rng.integers(1, p.q)) for _ in ib]
+    for i, v in zip(ia, va):
+        a[0, i] = v
+    for i, v in zip(ib, vb):
+        b[0, i] = v
+    c = plan.polymul(a, b)
+    want = {}
+    for i, v in zip(ia, va):
+        for j, w in zip(ib, vb):
+            k, s = i + j, 1
+            if k >= n:
+                k, s = k - n, -1
+            want[k] = (want.get(k, 0) + s * v * w) % p.q
+    got = {k: int(c[0, k]) for k in range(n) if c[0, k]}
+    assert got == {k: v for k, v in want.items() if v}
