@@ -133,9 +133,34 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         ah = rng.integers(0, q, (batch, n)).astype(np.uint64)
         bh = rng.integers(0, q, (batch, n)).astype(np.uint64)
         a, b = ah, bh
-        inner = 1                            # host CRT path: no device chain
-        fn = lambda: _HostResult(plan.polymul(ah, bh))
-        bf = len(plan.primes) * _butterflies(n, p.log2n, batch)
+        if plan.dcrt is not None:
+            # fully device-resident pipeline: chain packed-plane products
+            # (output planes feed back as the next multiplicand)
+            from tpu_ntt.ops.limb import pack_u64_planes
+            import jax as _jax
+            dcrt, stacked = plan.dcrt, plan.stacked
+
+            def one(pa, pb):
+                ra = dcrt.split(*pa)
+                rb = dcrt.split(*pb)
+                return dcrt.reconstruct(stacked._polymul(ra, rb))
+
+            def chained(pa, pb):
+                def body(_, ab):
+                    x, y = ab
+                    return one(x, y), x
+                out, _ = _jax.lax.fori_loop(0, inner, body, (pa, pb))
+                return out, jnp.max(out[0])
+
+            fn_c = jax.jit(chained)
+            pa = tuple(jnp.asarray(t) for t in pack_u64_planes(ah))
+            pb = tuple(jnp.asarray(t) for t in pack_u64_planes(bh))
+            fn = lambda: fn_c(pa, pb)
+            check_fn = lambda: _HostResult(plan.polymul(ah, bh))
+        else:
+            inner = 1                        # host CRT path: no device chain
+            fn = lambda: _HostResult(plan.polymul(ah, bh))
+        bf = inner * len(plan.primes) * _butterflies(n, p.log2n, batch)
     elif config == "large":                  # single-chip n=2^16 transform
         # four-step (ShardedPlan on a 1-device mesh) — far better compile
         # time and VMEM locality than a flat 16-stage graph at this size
@@ -187,8 +212,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     # correctness spot-check on one row (a single UNchained product —
     # the timed fn may be an inner-repeat chain)
     if "check_fn" in locals():
-        out = check_fn()
-        out.block_until_ready()
+        out = _sync(check_fn())
     if config == "large":
         out = plan.unshard(out)
         a = plan.unshard(a)
@@ -215,7 +239,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 # (config, batch, inner): inner tuned so compile stays tractable while the
 # ~25 ms dispatch round-trip is amortised
 SWEEP = [("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
-         ("dilithium256", 8192, 256), ("large", 16, 16), ("bigq62", 64, 1)]
+         ("dilithium256", 8192, 256), ("large", 16, 128), ("bigq62", 64, 8)]
 
 
 def main():
