@@ -118,3 +118,23 @@ def test_global_mesh_shape():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         global_mesh(dp=3)
+
+
+def test_dp_polymul_plan_and_pallas(rng):
+    """Data-parallel wrapper over the 8-device mesh: per-device local
+    products, results identical to single-device for both the XLA plan
+    and the fused Pallas kernel (interpret mode on CPU)."""
+    from tpu_ntt.ops.butterfly import PallasPolymul
+    from tpu_ntt.parallel.sharded import dp_polymul, make_mesh
+    from tpu_ntt.params import preset
+    from tpu_ntt.transform import Plan
+
+    p = preset("sw256")
+    mesh = make_mesh(8, axis="dp")
+    a = rng.integers(0, p.q, (16, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (16, p.n)).astype(np.int32)
+    want = np.asarray(Plan(p).polymul_jit(a, b))
+
+    for plan in (Plan(p), PallasPolymul(p, tile=2, interpret=True)):
+        f = dp_polymul(plan, mesh)
+        np.testing.assert_array_equal(np.asarray(f(a, b)), want)

@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..params import NTTParams, modinv
 from ..transform import Plan
 
-__all__ = ["ShardedPlan", "make_mesh"]
+__all__ = ["ShardedPlan", "make_mesh", "dp_polymul"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -52,6 +52,25 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     if n_devices is None:
         n_devices = len(devs)
     return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def dp_polymul(plan, mesh: Mesh, axis: str = "dp"):
+    """Data-parallel wrapper: run any per-chip polymul backend (Plan,
+    PallasPolymul, PallasIncompletePolymul, MatmulNTT) on each device's
+    local batch shard — no cross-device communication at all, the
+    throughput-scaling mode for small rings (each chip is the whole FPGA).
+
+    Returns a jitted ``f(a, b)`` over ``(batch, n)`` arrays whose batch
+    axis is (or will be) sharded over ``axis``.  batch must divide by the
+    axis size.
+    """
+    spec = P(axis, None)
+
+    def f(a, b):
+        return plan.polymul(a, b)
+
+    return jax.jit(jax.shard_map(f, mesh=mesh, in_specs=(spec, spec),
+                                 out_specs=spec, check_vma=False))
 
 
 @dataclasses.dataclass(frozen=True)
