@@ -134,8 +134,9 @@ def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul"):
             wsh = twfsh[s, :][None, :]
             hi_vals = jnp.where(mask, up, x)
             m = shoup(hi_vals, w, wsh)
-            x = jnp.where(mask, csub2q(x + m),
-                          csub2q(down - m + two_q))
+            # both branches land in [0, 4q): one shared csub2q after the
+            # select keeps stage outputs in [0, 2q)
+            x = csub2q(jnp.where(mask, x + m, down - m + two_q))
         return x                            # [0, 2q)
 
     def inv(x, twi, twish):
@@ -149,9 +150,11 @@ def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul"):
             wsh = twish[s, :][None, :]
             hi_vals = jnp.where(mask, up, x)
             lo_vals = jnp.where(mask, x, down)
-            s_ = csub2q(lo_vals + hi_vals)
+            # shoup input must stay < 2^15, so the sub branch reduces
+            # before the multiply; the add branch ([0,4q)) shares the
+            # post-select csub2q (m in [0,2q) passes through unchanged)
             m = shoup(csub2q(lo_vals - hi_vals + two_q), w, wsh)
-            x = jnp.where(mask, s_, m)
+            x = csub2q(jnp.where(mask, lo_vals + hi_vals, m))
         return x
 
     def mul_lazy(a, b):
@@ -205,9 +208,6 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
         r = x - q32
         return r + ((r >> 31) & q32)
 
-    def addm(x, y):
-        return csubq(x + y)
-
     def subm(x, y):
         r = x - y
         return r + ((r >> 31) & q32)
@@ -240,7 +240,8 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
             w = twf[s, :][None, :]
             hi_vals = jnp.where(mask, up, x)
             m = mul(hi_vals, w)
-            x = jnp.where(mask, addm(x, m), subm(down, m))
+            # both branches in [0, 2q): one shared csubq after the select
+            x = csubq(jnp.where(mask, x + m, down - m + q32))
         return x
 
     def inv(x, twi):
@@ -252,9 +253,8 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
             w = twi[s, :][None, :]
             hi_vals = jnp.where(mask, up, x)
             lo_vals = jnp.where(mask, x, down)
-            s_ = addm(lo_vals, hi_vals)
-            m = mul(subm(lo_vals, hi_vals), w)
-            x = jnp.where(mask, s_, m)
+            m = mul(subm(lo_vals, hi_vals), w)   # canonical, csubq-stable
+            x = csubq(jnp.where(mask, lo_vals + hi_vals, m))
         return x
 
     # n^-1·R² mod q: one Montgomery mul applies n^-1·R, cancelling the
@@ -460,8 +460,8 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
             wsh = twfsh[s, :][None, :]
             hi_vals = jnp.where(mask, up, x)
             mm = shoup(hi_vals, w, wsh)
-            x = jnp.where(mask, csub2q(x + mm),
-                          csub2q(down - mm + two_q))
+            # shared post-select csub2q (both branches in [0, 4q))
+            x = csub2q(jnp.where(mask, x + mm, down - mm + two_q))
         return x                            # [0, 2q), sub spectra interleaved
 
     def inv(x, twi, twish):
@@ -474,9 +474,8 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
             wsh = twish[s - 1, :][None, :]
             hi_vals = jnp.where(mask, up, x)
             lo_vals = jnp.where(mask, x, down)
-            s_ = csub2q(lo_vals + hi_vals)
             mm = shoup(csub2q(lo_vals - hi_vals + two_q), w, wsh)
-            x = jnp.where(mask, s_, mm)
+            x = csub2q(jnp.where(mask, lo_vals + hi_vals, mm))
         return x
 
     def mul_lazy(a, b):
@@ -497,9 +496,9 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
         term1 = mul_lazy(fa, fb)            # even: a0b0, odd: a1b1
         cross = mul_lazy(fa, pair_swap(fb)) # even: a0b1, odd: a1b0
         mt = shoup(pair_swap(term1), t, tsh)     # t, tsh are (1, n)
-        c_even = csub2q(csub2q(term1 + mt))
-        c_odd = csub2q(csub2q(cross + pair_swap(cross)))
-        return jnp.where(even, c_even, c_odd)
+        # sums are in [0, 4q): one csub2q after the select suffices
+        return csub2q(jnp.where(even, term1 + mt,
+                                cross + pair_swap(cross)))
 
     minv = sub_p.n_inv                      # m^-1: the sub-transform scale
     minv_sh = (minv << 16) // q
