@@ -111,12 +111,20 @@ class RooflineReport:
 
 
 def polymul_roofline(params, batch: int, measured_s: float,
-                     ops_per_butterfly: float = 10.0,
+                     ops_per_butterfly: float = 32.0,
                      vpu_ops: float = DEFAULT_VPU_INT_OPS,
                      hbm_bytes_per_s: float = DEFAULT_HBM_BYTES,
                      ) -> RooflineReport:
     """Roofline for one batched polymul call (2 fwd + 1 inv transform,
-    ~10 int32 VPU ops per lazy-Shoup butterfly, 3 arrays of HBM traffic)."""
+    3 arrays of HBM traffic).
+
+    ``ops_per_butterfly`` default models the lane-masked radix-2 Shoup
+    kernel (ops/butterfly.py): ~16 elementwise int32 ops per stage
+    position x 2 positions per butterfly (SIMD masking computes both
+    branch values full-width), rolls excluded.  The v5e fused kernel
+    measures ~78% of this bound (94.6 G butterflies/s vs the 122 G
+    model ceiling at 3.9e12 lane-ops/s).  Montgomery-flavor kernels
+    (2^14 <= q < 2^29) cost ~2x: pass ~64."""
     bf = 3 * batch * (params.n // 2) * params.log2n
     traffic = 3 * batch * params.n * 4          # a, b in; c out
     return RooflineReport(bf, measured_s, ops_per_butterfly, vpu_ops,
