@@ -18,7 +18,8 @@ __version__ = "0.1.0"
 __all__ = [
     "NTTParams", "make_params", "find_params", "preset", "PRESETS",
     "params", "ref", "Plan", "ShardedPlan", "BigQPlan", "Ring",
-    "IncompletePlan", "PolyMultEngine",
+    "IncompletePlan", "PolyMultEngine", "PallasPolymul",
+    "PallasIncompletePolymul",
 ]
 
 
@@ -42,4 +43,7 @@ def __getattr__(name):
     if name == "PolyMultEngine":
         from .runtime.engine import PolyMultEngine
         return PolyMultEngine
+    if name in ("PallasPolymul", "PallasIncompletePolymul"):
+        from .ops import butterfly
+        return getattr(butterfly, name)
     raise AttributeError(name)
