@@ -49,3 +49,19 @@ def test_ring_api(rng):
     np.testing.assert_array_equal(
         ck, ref.schoolbook_negacyclic(a % 3329, b % 3329, 3329))
     assert "incomplete" in repr(Rk)
+
+
+def test_ring_api_montgomery_point(rng):
+    """Transform-domain identities hold for fix != 1 arithmetic too
+    (Dilithium q needs MontArith: pointwise corrects the stray R^-1)."""
+    from tpu_ntt.ring import Ring
+    from tpu_ntt import ref
+    q = 8380417
+    R = Ring(256, q)
+    a = R.random(256, rng) % q
+    b = R.random(256, rng) % q
+    c = R.mul(a, b)
+    np.testing.assert_array_equal(c, ref.schoolbook_negacyclic(a, b, q))
+    fa, fb = R.ntt(a[None]), R.ntt(b[None])
+    np.testing.assert_array_equal(R.intt(R.pointwise(fa, fb))[0], c)
+    np.testing.assert_array_equal(R.intt(R.ntt(a[None]))[0], a)

@@ -206,3 +206,16 @@ def test_pallas_incomplete_rejects_big_q():
     from tpu_ntt.ops.butterfly import PallasIncompletePolymul
     with pytest.raises(ValueError):
         PallasIncompletePolymul(256, 8380417)
+
+
+@pytest.mark.parametrize("name", ["sw256", "dilithium256"])
+def test_pallas_split_pipeline_matches_fused(rng, name):
+    """forward -> pointwise -> inverse through the Pallas plan equals the
+    fused polymul kernel (the Ring transform-domain API path)."""
+    p = preset(name)
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    a = rng.integers(0, p.q, (8, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (8, p.n)).astype(np.int32)
+    split = np.asarray(pk.inverse(pk.pointwise(pk.forward(a),
+                                               pk.forward(b))))
+    np.testing.assert_array_equal(split, np.asarray(pk.polymul(a, b)))

@@ -402,6 +402,17 @@ class PallasPolymul:
         carries the arith fix factor, as with Plan)."""
         return self._unary("inv")(jnp.asarray(x))
 
+    @functools.cached_property
+    def arith(self):
+        """Companion lane arithmetic (Plan API parity: Ring/pointwise)."""
+        from .modmul import select_arith
+        return select_arith(self.params.q)
+
+    def pointwise(self, fa, fb):
+        """Spectral-domain product, scale-compatible with inverse()."""
+        return self.arith.mul(jnp.asarray(fa, jnp.int32),
+                              jnp.asarray(fb, jnp.int32))
+
 
 # ---------------------------------------------------------------------------
 # incomplete (truncated) NTT: the fused Kyber-style kernel

@@ -82,7 +82,16 @@ class Ring:
         return out
 
     def pointwise(self, fa, fb):
-        return self._plan.pointwise(fa, fb)
+        """Exact spectral product: the arithmetic backend's stray
+        Montgomery factor (pointwise_fix^-1) is corrected here so that
+        ``intt(pointwise(ntt(a), ntt(b))) == mul(a, b)`` AND
+        ``intt(ntt(a)) == a`` hold simultaneously for every backend."""
+        out = self._plan.pointwise(fa, fb)
+        fix = getattr(self._plan.arith, "pointwise_fix", 1)
+        if fix != 1:
+            tab = self._plan.arith.const_table(np.array([fix]))
+            out = self._plan.arith.mul_const(out, tab)
+        return out
 
     def __repr__(self):
         sign = "+" if self.negacyclic else "-"
