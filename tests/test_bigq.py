@@ -143,3 +143,34 @@ def test_bigq_large_n_four_step_channels(rng):
             want[k] = (want.get(k, 0) + s * v * w) % p.q
     got = {k: int(c[0, k]) for k in range(n) if c[0, k]}
     assert got == {k: v for k, v in want.items() if v}
+
+
+def test_bigq_fused_sharded_on_mesh(rng):
+    """Explicit multi-device mesh: the whole big-q product (split +
+    four-step channels + Garner) runs in one shard_map graph."""
+    from tpu_ntt.params import find_params
+    from tpu_ntt.parallel.sharded import make_mesh
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    p = find_params(4096, 45)
+    plan = BigQPlan(p, mesh=make_mesh(8))
+    assert plan.dcrt is not None and plan.stacked is None
+    n = p.n
+    a = np.zeros((2, n), dtype=np.uint64)
+    b = np.zeros((2, n), dtype=np.uint64)
+    a[:, 1] = 7
+    a[1, n - 1] = int(rng.integers(1, p.q))
+    b[:, 2] = int(rng.integers(1, p.q))
+    c = plan.polymul(a, b)
+    for r in range(2):
+        want = {}
+        for i in np.nonzero(a[r])[0]:
+            for j in np.nonzero(b[r])[0]:
+                k, s = int(i + j), 1
+                if k >= n:
+                    k, s = k - n, -1
+                want[k] = (want.get(k, 0)
+                           + s * int(a[r, i]) * int(b[r, j])) % p.q
+        got = {int(k): int(c[r, k]) for k in np.nonzero(c[r])[0]}
+        assert got == {k: v for k, v in want.items() if v}, r

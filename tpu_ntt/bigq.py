@@ -351,7 +351,8 @@ class BigQPlan:
             from .parallel.sharded import ShardedPlan
             self.channel_plans = [ShardedPlan(make_params(n, p), mesh)
                                   for p in self.primes]
-            self.dcrt = None
+            self.dcrt = (DeviceCRT(self.primes, q)
+                         if min(self.primes) > (1 << 16) else None)
 
     # ------------------------------------------------------------------
 
@@ -414,15 +415,48 @@ class BigQPlan:
 
         return jax.jit(fused)
 
+    @functools.cached_property
+    def _fused_sharded_jit(self):
+        """Mesh path, still ONE graph: split/Garner are elementwise so
+        they run inside the same shard_map as every channel's four-step
+        body; only packed planes cross the host link."""
+        dcrt, plans = self.dcrt, self.channel_plans
+        sp0 = plans[0]
+
+        def body(lo_a, hi_a, lo_b, hi_b):
+            ra = dcrt.split(lo_a, hi_a)          # (k, B, n1, L2) local
+            rb = dcrt.split(lo_b, hi_b)
+            outs = [plans[i]._polymul_body(ra[i], rb[i])
+                    for i in range(len(plans))]
+            return dcrt.reconstruct(jnp.stack(outs))
+
+        spec = sp0.coef_spec
+        return jax.jit(jax.shard_map(
+            body, mesh=sp0.mesh, in_specs=(spec,) * 4,
+            out_specs=(spec, spec), check_vma=False))
+
+    def _sharded_planes(self, planes):
+        from jax.sharding import NamedSharding
+        sp0 = self.channel_plans[0]
+        sh = NamedSharding(sp0.mesh, sp0.coef_spec)
+        return tuple(jax.device_put(
+            p.reshape(-1, sp0.n1, sp0.n2), sh) for p in planes)
+
     def polymul(self, a, b) -> np.ndarray:
         """Negacyclic product of (batch, n) uint64 arrays, mod big q."""
         a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
         b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
         if self.dcrt is not None:
             from .ops.limb import pack_u64_planes, unpack_u64_planes
-            lo_c, hi_c = self._fused_jit(*pack_u64_planes(a),
-                                         *pack_u64_planes(b))
-            return unpack_u64_planes(np.asarray(lo_c), np.asarray(hi_c))
+            if self.stacked is not None:
+                lo_c, hi_c = self._fused_jit(*pack_u64_planes(a),
+                                             *pack_u64_planes(b))
+            else:
+                lo_c, hi_c = self._fused_sharded_jit(
+                    *self._sharded_planes(pack_u64_planes(a)),
+                    *self._sharded_planes(pack_u64_planes(b)))
+            return unpack_u64_planes(
+                np.asarray(lo_c), np.asarray(hi_c)).reshape(a.shape)
         ra, rb = self._split(a), self._split(b)
         if self.stacked is not None:
             prods = np.asarray(self.stacked.polymul_jit(ra, rb))
