@@ -65,3 +65,18 @@ def test_ring_api_montgomery_point(rng):
     fa, fb = R.ntt(a[None]), R.ntt(b[None])
     np.testing.assert_array_equal(R.intt(R.pointwise(fa, fb))[0], c)
     np.testing.assert_array_equal(R.intt(R.ntt(a[None]))[0], a)
+
+
+def test_ring_api_incomplete_transform_domain(rng):
+    """Kyber ring transform-domain path: ntt -> pointwise (base-case
+    products) -> intt equals mul."""
+    from tpu_ntt.ring import Ring
+    from tpu_ntt import ref
+    R = Ring(256, 3329)
+    assert "incomplete" in repr(R)
+    a = R.random(256, rng) % 3329
+    b = R.random(256, rng) % 3329
+    c = R.mul(a, b)
+    np.testing.assert_array_equal(c, ref.schoolbook_negacyclic(a, b, 3329))
+    fa, fb = R.ntt(a[None]), R.ntt(b[None])
+    np.testing.assert_array_equal(R.intt(R.pointwise(fa, fb))[0], c)

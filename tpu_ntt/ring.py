@@ -90,7 +90,9 @@ class Ring:
         fix = getattr(self._plan.arith, "pointwise_fix", 1)
         if fix != 1:
             tab = self._plan.arith.const_table(np.array([fix]))
-            out = self._plan.arith.mul_const(out, tab)
+            mc = self._plan.arith.mul_const
+            out = ([mc(o, tab) for o in out] if isinstance(out, list)
+                   else mc(out, tab))
         return out
 
     def __repr__(self):

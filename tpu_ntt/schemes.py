@@ -125,6 +125,12 @@ class IncompletePlan:
     def inverse(self, subs):
         return self._merge([self.sub.inverse(s) for s in subs])
 
+    def pointwise(self, fa, fb):
+        """Spectral product of two forward() outputs (the degree-(2^L-1)
+        base-case multiplication); scale-compatible with inverse(), like
+        Plan.pointwise (carries arith.pointwise_fix^-1 when != 1)."""
+        return self._basemul(fa, fb)
+
     def polymul(self, a, b):
         fa = self.forward(a)
         fb = self.forward(b)
