@@ -118,3 +118,32 @@ def test_bigq_device_crt_end_to_end(rng):
                                          b[i].astype(object), p.q)
         np.testing.assert_array_equal(c[i].astype(object),
                                       want.astype(object))
+
+
+def test_limb_fuzz_random_moduli(rng):
+    """Fuzz: random q of every width 17..62, random term counts, plus the
+    adversarial all-max accumulation — exact vs python ints."""
+    from tpu_ntt.params import find_ntt_prime
+    for trial in range(20):
+        qbits = int(rng.integers(17, 63))
+        q = find_ntt_prime(qbits, 64)
+        la = LimbArith(q)
+        n_terms = int(rng.integers(1, 24))
+        shape = (4,)
+        if trial % 4 == 0:
+            vs = np.full((n_terms, *shape), (1 << 15) - 1, dtype=np.int32)
+            cs = [q - 1] * n_terms
+        else:
+            vs = rng.integers(0, 1 << 15, (n_terms, *shape)).astype(np.int32)
+            cs = [int(rng.integers(0, q)) for _ in range(n_terms)]
+        acc = la.zero_acc(shape, la.L + 2)
+        for v, c in zip(vs, cs):
+            la.acc_mul_const(acc, v, c)
+        limbs = [np.asarray(p) for p in la.finalize(acc, n_terms)]
+        got = np.zeros(shape, dtype=object)
+        for j, p in enumerate(limbs):
+            got += p.astype(object) << (15 * j)
+        want = np.zeros(shape, dtype=object)
+        for v, c in zip(vs, cs):
+            want += v.astype(object) * c
+        assert np.array_equal(got, want % q), (trial, qbits, q, n_terms)
