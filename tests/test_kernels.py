@@ -219,3 +219,17 @@ def test_pallas_split_pipeline_matches_fused(rng, name):
     split = np.asarray(pk.inverse(pk.pointwise(pk.forward(a),
                                                pk.forward(b))))
     np.testing.assert_array_equal(split, np.asarray(pk.polymul(a, b)))
+
+
+def test_pallas_cyclic_ring(rng):
+    """psi=0 (cyclic, x^n - 1) through the fused kernel — the hardware
+    flow's ring (PolyMult.v computes the cyclic product)."""
+    p = make_params(256, 7681, negacyclic=False)
+    assert p.psi == 0
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    a = rng.integers(0, p.q, (6, 256)).astype(np.int32)
+    b = rng.integers(0, p.q, (6, 256)).astype(np.int32)
+    c = np.asarray(pk.polymul(a, b))
+    for i in range(6):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_cyclic(a[i], b[i], p.q))
