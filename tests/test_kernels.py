@@ -233,3 +233,63 @@ def test_pallas_cyclic_ring(rng):
     for i in range(6):
         np.testing.assert_array_equal(
             c[i], ref.schoolbook_cyclic(a[i], b[i], p.q))
+
+
+@pytest.mark.parametrize("name", ["sw256", "dilithium256"])
+def test_pallas_cm_layout_bit_exact(rng, name):
+    """Coefficient-major (sublane-roll) layout: both arithmetic flavors
+    (lazy Shoup q<2^14, digit-serial Montgomery q<2^29) match the
+    schoolbook oracle through the (batch, n) API."""
+    p = preset(name)
+    pk = PallasPolymul(p, tile=8, interpret=True, layout="cm")
+    a = rng.integers(0, p.q, (5, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (5, p.n)).astype(np.int32)
+    c = np.asarray(pk.polymul(a, b))
+    for i in range(5):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], p.q))
+    assert c.min() >= 0 and c.max() < p.q
+
+
+def test_pallas_cm_native_entry_and_transforms(rng):
+    """polymul_cm takes/returns (n, batch); forward/inverse in cm layout
+    match the default-layout kernel exactly."""
+    p = preset("sw256")
+    rows = PallasPolymul(p, tile=8, interpret=True, layout="rows")
+    cm = PallasPolymul(p, tile=8, interpret=True, layout="cm")
+    a = rng.integers(0, p.q, (5, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (5, p.n)).astype(np.int32)
+    c_cm = np.asarray(cm.polymul_cm(a.T, b.T)).T
+    np.testing.assert_array_equal(c_cm, np.asarray(rows.polymul(a, b)))
+    np.testing.assert_array_equal(np.asarray(cm.forward(a)),
+                                  np.asarray(rows.forward(a)))
+    fa, fb = rows.forward(a), rows.forward(b)
+    np.testing.assert_array_equal(
+        np.asarray(cm.inverse(cm.pointwise(fa, fb))),
+        np.asarray(rows.inverse(rows.pointwise(fa, fb))))
+
+
+def test_pallas_cm_rejects_bad_layout():
+    p = preset("sw256")
+    with pytest.raises(ValueError):
+        PallasPolymul(p, layout="columns")
+    rows = PallasPolymul(p, tile=8, interpret=True, layout="rows")
+    with pytest.raises(ValueError):
+        rows.polymul_cm(np.zeros((256, 8), np.int32),
+                        np.zeros((256, 8), np.int32))
+
+
+def test_pallas_incomplete_cm_matches_rows(rng):
+    """Incomplete (Kyber) kernel: cm and rows layouts agree bit-exactly,
+    and the native (n, batch) entry matches."""
+    from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+    rows = PallasIncompletePolymul(256, 3329, tile=8, interpret=True,
+                                   layout="rows")
+    cm = PallasIncompletePolymul(256, 3329, tile=8, interpret=True,
+                                 layout="cm")
+    a = rng.integers(0, 3329, (5, 256)).astype(np.int32)
+    b = rng.integers(0, 3329, (5, 256)).astype(np.int32)
+    want = np.asarray(rows.polymul(a, b))
+    np.testing.assert_array_equal(np.asarray(cm.polymul(a, b)), want)
+    np.testing.assert_array_equal(np.asarray(cm.polymul_cm(a.T, b.T)).T,
+                                  want)

@@ -101,11 +101,21 @@ def _dense_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul"):
+def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul",
+                 cm: bool = False):
+    """``cm`` (coefficient-major): block layout (n, tile) with coefficients
+    on the SUBLANE axis and batch on lanes, so every butterfly exchange is
+    a sublane roll — measured ~25% cheaper than cross-lane rolls on v5e
+    (rolls dominate the stage cost; arithmetic hides behind them)."""
     n, q = p.n, p.q
     log2n = p.log2n
     q32 = np.int32(q)
     two_q = np.int32(2 * q)
+    axis = 0 if cm else 1
+    shape = (n, tile) if cm else (tile, n)
+
+    def bcast(row):                         # (n,) -> broadcast over batch
+        return row[:, None] if cm else row[None, :]
 
     def csub2q(x):
         r = x - two_q
@@ -120,7 +130,7 @@ def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul"):
         return x * w - t * q32              # in [0, 2q)
 
     def lo_mask(d):
-        i = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
         return ((i // d) & 1) == 0
 
     def fwd(x, twf, twfsh):
@@ -128,10 +138,10 @@ def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul"):
         for s in range(log2n):
             d = n >> (s + 1)
             mask = lo_mask(d)
-            up = pltpu.roll(x, n - d, 1)   # roll requires shift >= 0
-            down = pltpu.roll(x, d, 1)
-            w = twf[s, :][None, :]
-            wsh = twfsh[s, :][None, :]
+            up = pltpu.roll(x, n - d, axis)   # roll requires shift >= 0
+            down = pltpu.roll(x, d, axis)
+            w = bcast(twf[s, :])
+            wsh = bcast(twfsh[s, :])
             hi_vals = jnp.where(mask, up, x)
             m = shoup(hi_vals, w, wsh)
             # both branches land in [0, 4q): one shared csub2q after the
@@ -144,10 +154,10 @@ def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul"):
         for s in range(log2n):
             d = 1 << s
             mask = lo_mask(d)
-            up = pltpu.roll(x, n - d, 1)   # roll requires shift >= 0
-            down = pltpu.roll(x, d, 1)
-            w = twi[s, :][None, :]
-            wsh = twish[s, :][None, :]
+            up = pltpu.roll(x, n - d, axis)   # roll requires shift >= 0
+            down = pltpu.roll(x, d, axis)
+            w = bcast(twi[s, :])
+            wsh = bcast(twish[s, :])
             hi_vals = jnp.where(mask, up, x)
             lo_vals = jnp.where(mask, x, down)
             # shoup input must stay < 2^15, so the sub branch reduces
@@ -192,10 +202,12 @@ def _make_kernel(p: NTTParams, tile: int, mode: str = "polymul"):
     return {"polymul": kernel, "fwd": fwd_kernel, "inv": inv_kernel}[mode]
 
 
-def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
+def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul",
+                      cm: bool = False):
     """Fused polymul kernel for 2^14 <= q < 2^29: canonical [0, q) values,
     15-bit digit-serial Montgomery multiplies (ops/modmul.MontArith
-    re-derived in-kernel; bounds identical — all intermediates < 2^31)."""
+    re-derived in-kernel; bounds identical — all intermediates < 2^31).
+    ``cm``: coefficient-major (n, tile) layout, see _make_kernel."""
     n, q = p.n, p.q
     log2n = p.log2n
     q32 = np.int32(q)
@@ -203,6 +215,11 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
     q1 = np.int32(q >> 15)
     qp = np.int32((-pow(q, -1, 1 << 15)) % (1 << 15))
     m15 = np.int32((1 << 15) - 1)
+    axis = 0 if cm else 1
+    shape = (n, tile) if cm else (tile, n)
+
+    def bcast(row):
+        return row[:, None] if cm else row[None, :]
 
     def csubq(x):
         r = x - q32
@@ -228,16 +245,16 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
         return redc(x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
 
     def lo_mask(d):
-        i = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
         return ((i // d) & 1) == 0
 
     def fwd(x, twf):
         for s in range(log2n):
             d = n >> (s + 1)
             mask = lo_mask(d)
-            up = pltpu.roll(x, n - d, 1)
-            down = pltpu.roll(x, d, 1)
-            w = twf[s, :][None, :]
+            up = pltpu.roll(x, n - d, axis)
+            down = pltpu.roll(x, d, axis)
+            w = bcast(twf[s, :])
             hi_vals = jnp.where(mask, up, x)
             m = mul(hi_vals, w)
             # both branches in [0, 2q): one shared csubq after the select
@@ -248,9 +265,9 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
         for s in range(log2n):
             d = 1 << s
             mask = lo_mask(d)
-            up = pltpu.roll(x, n - d, 1)
-            down = pltpu.roll(x, d, 1)
-            w = twi[s, :][None, :]
+            up = pltpu.roll(x, n - d, axis)
+            down = pltpu.roll(x, d, axis)
+            w = bcast(twi[s, :])
             hi_vals = jnp.where(mask, up, x)
             lo_vals = jnp.where(mask, x, down)
             m = mul(subm(lo_vals, hi_vals), w)   # canonical, csubq-stable
@@ -283,18 +300,31 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul"):
 
 
 class PallasPolymul:
-    """Plan-level wrapper: fused-kernel polymul for (batch, n) int32."""
+    """Plan-level wrapper: fused-kernel polymul for (batch, n) int32.
+
+    ``layout="cm"`` (coefficient-major, the default) runs the kernel on
+    (n, batch) blocks — coefficients on sublanes, batch on lanes — where
+    butterfly exchanges are sublane rolls: measured 101 vs 80 G
+    butterflies/s against the cross-lane ``"rows"`` layout on v5e
+    (sw256, batch 8192; the boundary transposes the (batch, n) API needs
+    cost ~3 µs and XLA fuses them into adjacent ops).  ``polymul_cm``
+    takes/returns (n, batch) directly for transpose-free chaining."""
 
     def __init__(self, params: NTTParams, tile: int | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, layout: str = "cm"):
         if not supported(params):
             raise ValueError(
                 f"Pallas kernel needs odd q < 2^29, got {params.q}")
+        if layout not in ("rows", "cm"):
+            raise ValueError(f"layout must be 'rows' or 'cm', got {layout}")
         self.params = params
         self.mont = params.q >= (1 << 14)
+        self.cm = layout == "cm"
         n = params.n
         if tile is None:
             tile = max(8, min(512, (1 << 18) // n))
+        if self.cm and not interpret:
+            tile = max(128, -(-tile // 128) * 128)  # full lane registers
         self.tile = tile
         self.interpret = interpret
         self._twf, self._twfsh = _dense_stage_tables(
@@ -302,20 +332,29 @@ class PallasPolymul:
         self._twi, self._twish = _dense_stage_tables(
             params, inverse=True, mont=self.mont)
 
+    def _data_spec(self):
+        n, tile = self.params.n, self.tile
+        if self.cm:
+            return pl.BlockSpec((n, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((tile, n), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     @functools.cached_property
     def _call(self):
         p = self.params
         n, tile = p.n, self.tile
-        kernel = (_make_kernel_mont if self.mont else _make_kernel)(p, tile)
+        kernel = (_make_kernel_mont if self.mont else _make_kernel)(
+            p, tile, cm=self.cm)
         tw_shape = (p.log2n, n)
         tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
-        data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
+        data_spec = self._data_spec()
+        batch_axis = 1 if self.cm else 0
 
         def run(a, b, twf, twfsh, twi, twish):
-            grid = (a.shape[0] // tile,)
-            flops_est = 3 * a.shape[0] * (n // 2) * p.log2n * 10
+            grid = (a.shape[batch_axis] // tile,)
+            flops_est = 3 * a.shape[batch_axis] * (n // 2) * p.log2n * 10
             return pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -337,6 +376,7 @@ class PallasPolymul:
         n, tile = self.params.n, self.tile
         twf, twfsh, twi, twish = (self._twf, self._twfsh, self._twi,
                                   self._twish)
+        cm = self.cm
 
         def full(a, b):
             lead = a.shape[:-1]
@@ -347,14 +387,43 @@ class PallasPolymul:
             if pad:
                 a = jnp.pad(a, ((0, pad), (0, 0)))
                 b = jnp.pad(b, ((0, pad), (0, 0)))
-            out = self._call(a, b, twf, twfsh, twi, twish)
+            if cm:
+                out = self._call(a.T, b.T, twf, twfsh, twi, twish).T
+            else:
+                out = self._call(a, b, twf, twfsh, twi, twish)
             return out[:batch].reshape(*lead, n)
+
+        return jax.jit(full)
+
+    @functools.cached_property
+    def _full_cm(self):
+        """Native coefficient-major entry: (n, batch) in/out, no
+        transposes — for device-side chaining."""
+        if not self.cm:
+            raise ValueError("polymul_cm needs layout='cm'")
+        n, tile = self.params.n, self.tile
+        twf, twfsh, twi, twish = (self._twf, self._twfsh, self._twi,
+                                  self._twish)
+
+        def full(a, b):
+            batch = a.shape[1]
+            pad = (-batch) % tile
+            if pad:
+                a = jnp.pad(a, ((0, 0), (0, pad)))
+                b = jnp.pad(b, ((0, 0), (0, pad)))
+            out = self._call(a.astype(jnp.int32), b.astype(jnp.int32),
+                             twf, twfsh, twi, twish)
+            return out[:, :batch]
 
         return jax.jit(full)
 
     def polymul(self, a, b):
         """Negacyclic (psi set) or cyclic product; canonical in/out."""
         return self._full(jnp.asarray(a), jnp.asarray(b))
+
+    def polymul_cm(self, a, b):
+        """Coefficient-major product: (n, batch) int32 in/out."""
+        return self._full_cm(jnp.asarray(a), jnp.asarray(b))
 
     # -- standalone transforms (Plan.forward/inverse API parity) ---------
 
@@ -364,14 +433,14 @@ class PallasPolymul:
         p = self.params
         n, tile = p.n, self.tile
         factory = _make_kernel_mont if self.mont else _make_kernel
-        kernel = factory(p, tile, mode)
+        kernel = factory(p, tile, mode, cm=self.cm)
         tw_shape = (p.log2n, n)
         tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
-        data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
+        data_spec = self._data_spec()
         tabs = ((self._twf, self._twfsh) if mode == "fwd"
                 else (self._twi, self._twish))
+        cm = self.cm
 
         def run(x):
             lead = x.shape[:-1]
@@ -380,14 +449,17 @@ class PallasPolymul:
             pad = (-batch) % tile
             if pad:
                 x = jnp.pad(x, ((0, pad), (0, 0)))
+            xin = x.T if cm else x
             out = pl.pallas_call(
                 kernel,
                 grid=(x.shape[0] // tile,),
                 in_specs=[data_spec, tw_spec, tw_spec],
                 out_specs=data_spec,
-                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+                out_shape=jax.ShapeDtypeStruct(xin.shape, jnp.int32),
                 interpret=self.interpret,
-            )(x, *tabs)
+            )(xin, *tabs)
+            if cm:
+                out = out.T
             return out[:batch].reshape(*lead, n)
 
         return jax.jit(run)
@@ -418,7 +490,8 @@ class PallasPolymul:
 # incomplete (truncated) NTT: the fused Kyber-style kernel
 # ---------------------------------------------------------------------------
 
-def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
+def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int,
+                            cm: bool = False):
     """Fused negacyclic polymul over Z_q[x]/(x^n+1) via an incomplete NTT
     with ONE missing level (schemes.IncompletePlan levels=1, the ML-KEM
     structure), entirely in VMEM.
@@ -444,6 +517,11 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
     log2n = sub_p.log2n + 1
     q32 = np.int32(q)
     two_q = np.int32(2 * q)
+    axis = 0 if cm else 1
+    shape = (n, tile) if cm else (tile, n)
+
+    def bcast(row):                         # (n,) -> broadcast over batch
+        return row[:, None] if cm else row[None, :]
 
     def csub2q(x):
         r = x - two_q
@@ -458,17 +536,17 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
         return x * w - t * q32              # in [0, 2q)
 
     def lo_mask(d):
-        i = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
         return ((i // d) & 1) == 0
 
     def fwd(x, twf, twfsh):
         for s in range(log2n - 1):          # skip the last (d=1) stage
             d = n >> (s + 1)
             mask = lo_mask(d)
-            up = pltpu.roll(x, n - d, 1)
-            down = pltpu.roll(x, d, 1)
-            w = twf[s, :][None, :]
-            wsh = twfsh[s, :][None, :]
+            up = pltpu.roll(x, n - d, axis)
+            down = pltpu.roll(x, d, axis)
+            w = bcast(twf[s, :])
+            wsh = bcast(twfsh[s, :])
             hi_vals = jnp.where(mask, up, x)
             mm = shoup(hi_vals, w, wsh)
             # shared post-select csub2q (both branches in [0, 4q))
@@ -479,10 +557,10 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
         for s in range(1, log2n):           # skip the first (d=1) stage
             d = 1 << s
             mask = lo_mask(d)
-            up = pltpu.roll(x, n - d, 1)
-            down = pltpu.roll(x, d, 1)
-            w = twi[s - 1, :][None, :]
-            wsh = twish[s - 1, :][None, :]
+            up = pltpu.roll(x, n - d, axis)
+            down = pltpu.roll(x, d, axis)
+            w = bcast(twi[s - 1, :])
+            wsh = bcast(twish[s - 1, :])
             hi_vals = jnp.where(mask, up, x)
             lo_vals = jnp.where(mask, x, down)
             mm = shoup(csub2q(lo_vals - hi_vals + two_q), w, wsh)
@@ -500,7 +578,8 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
 
     def pair_swap(x):
         even = lo_mask(1)
-        return jnp.where(even, pltpu.roll(x, n - 1, 1), pltpu.roll(x, 1, 1))
+        return jnp.where(even, pltpu.roll(x, n - 1, axis),
+                         pltpu.roll(x, 1, axis))
 
     def basemul(fa, fb, t, tsh):
         even = lo_mask(1)
@@ -530,18 +609,25 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int):
 
 class PallasIncompletePolymul:
     """Fused-kernel negacyclic polymul for rings without 2n-th roots
-    (schemes.IncompletePlan levels=1 twin; e.g. Kyber n=256, q=3329)."""
+    (schemes.IncompletePlan levels=1 twin; e.g. Kyber n=256, q=3329).
+    ``layout="cm"`` (default): coefficient-major sublane-roll layout,
+    see :class:`PallasPolymul`."""
 
     def __init__(self, n: int, q: int, tile: int | None = None,
-                 interpret: bool = False):
+                 interpret: bool = False, layout: str = "cm"):
         from ..params import make_params
         if q >= (1 << 14):
             raise ValueError("incomplete Pallas kernel needs q < 2^14")
+        if layout not in ("rows", "cm"):
+            raise ValueError(f"layout must be 'rows' or 'cm', got {layout}")
         m = n // 2
         self.n, self.q = n, q
+        self.cm = layout == "cm"
         self.sub_p = make_params(m, q)      # negacyclic size-m sub-ring
         if tile is None:
             tile = max(8, min(512, (1 << 18) // n))
+        if self.cm and not interpret:
+            tile = max(128, -(-tile // 128) * 128)
         self.tile = tile
         self.interpret = interpret
 
@@ -563,22 +649,45 @@ class PallasIncompletePolymul:
         t = np.array([pow(self.sub_p.psi, int(e), q) for e in exps],
                      dtype=np.int64)
         t = np.repeat(t, 2)
-        self._t = t.astype(np.int32)[None, :]
-        self._tsh = ((t << 16) // q).astype(np.int32)[None, :]
+        t32 = t.astype(np.int32)
+        tsh32 = ((t << 16) // q).astype(np.int32)
+        if self.cm:
+            self._t = t32[:, None]
+            self._tsh = tsh32[:, None]
+        else:
+            self._t = t32[None, :]
+            self._tsh = tsh32[None, :]
 
     @functools.cached_property
     def _full(self):
         n, tile = self.n, self.tile
-        kernel = _make_incomplete_kernel(self.sub_p, n, tile)
+        cm = self.cm
+        kernel = _make_incomplete_kernel(self.sub_p, n, tile, cm=cm)
         log2m = self.sub_p.log2n
         tw_spec = pl.BlockSpec((log2m, n), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
-        t_spec = pl.BlockSpec((1, n), lambda i: (0, 0),
+        t_spec = pl.BlockSpec(self._t.shape, lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-        data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)
+        if cm:
+            data_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM)
+        else:
+            data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM)
         tabs = (self._twf, self._twfsh, self._twi, self._twish,
                 self._t, self._tsh)
+
+        def call(a, b):
+            batch_axis = 1 if cm else 0
+            return pl.pallas_call(
+                kernel,
+                grid=(a.shape[batch_axis] // tile,),
+                in_specs=[data_spec, data_spec] + [tw_spec] * 4
+                + [t_spec] * 2,
+                out_specs=data_spec,
+                out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
+                interpret=self.interpret,
+            )(a, b, *tabs)
 
         def full(a, b):
             lead = a.shape[:-1]
@@ -589,19 +698,35 @@ class PallasIncompletePolymul:
             if pad:
                 a = jnp.pad(a, ((0, pad), (0, 0)))
                 b = jnp.pad(b, ((0, pad), (0, 0)))
-            out = pl.pallas_call(
-                kernel,
-                grid=(a.shape[0] // tile,),
-                in_specs=[data_spec, data_spec] + [tw_spec] * 4
-                + [t_spec] * 2,
-                out_specs=data_spec,
-                out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
-                interpret=self.interpret,
-            )(a, b, *tabs)
+            out = call(a.T, b.T).T if cm else call(a, b)
             return out[:batch].reshape(*lead, n)
+
+        self._call_raw = call
+        return jax.jit(full)
+
+    @functools.cached_property
+    def _full_cm(self):
+        """Native coefficient-major entry: (n, batch) in/out."""
+        if not self.cm:
+            raise ValueError("polymul_cm needs layout='cm'")
+        self._full  # materialise _call_raw
+        n, tile = self.n, self.tile
+        call = self._call_raw
+
+        def full(a, b):
+            batch = a.shape[1]
+            pad = (-batch) % tile
+            if pad:
+                a = jnp.pad(a, ((0, 0), (0, pad)))
+                b = jnp.pad(b, ((0, 0), (0, pad)))
+            return call(a.astype(jnp.int32), b.astype(jnp.int32))[:, :batch]
 
         return jax.jit(full)
 
     def polymul(self, a, b):
         """Negacyclic product, canonical [0, q) in/out."""
         return self._full(jnp.asarray(a), jnp.asarray(b))
+
+    def polymul_cm(self, a, b):
+        """Coefficient-major product: (n, batch) int32 in/out."""
+        return self._full_cm(jnp.asarray(a), jnp.asarray(b))
