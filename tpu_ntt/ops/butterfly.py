@@ -299,6 +299,220 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul",
     return {"polymul": kernel, "fwd": fwd_kernel, "inv": inv_kernel}[mode]
 
 
+# ---------------------------------------------------------------------------
+# packed two-plane (constant-geometry) fused kernel
+# ---------------------------------------------------------------------------
+
+def _packed_slot_index(n: int, s: int, inverse: bool) -> np.ndarray:
+    """Slot -> low-pair-position map for the packed layout at stage s.
+
+    Packed form keeps the two members of every butterfly pair in separate
+    half-length planes (A, B); slot j of stage s corresponds to the pair
+    (i, i+d) with i = ((j >> log2 d) << (log2 d + 1)) | (j & (d-1)) —
+    the enumeration of positions with bit d clear, in increasing order."""
+    d = (1 << s) if inverse else (n >> (s + 1))
+    ld = d.bit_length() - 1
+    j = np.arange(n // 2)
+    return ((j >> ld) << (ld + 1)) | (j & (d - 1))
+
+
+def _packed_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
+    """(log2n, n/2) twiddle tables: the dense per-position tables gathered
+    at each stage's low-pair positions (pairs share one twiddle)."""
+    tw, sh = _dense_stage_tables(p, inverse, mont)
+    idx = np.stack([_packed_slot_index(p.n, s, inverse)
+                    for s in range(p.log2n)])
+    return (np.take_along_axis(tw, idx, axis=1),
+            np.take_along_axis(sh, idx, axis=1))
+
+
+def _make_kernel_packed(p: NTTParams, tile: int):
+    """Fused polymul with butterflies in constant-geometry two-plane form
+    (q < 2^14, lazy Shoup).
+
+    The mask/select kernel above computes every Shoup product and roll at
+    all n positions although a pair shares one product — 2x redundant.
+    Here the pair partners live in separate (n/2, tile) planes, so each
+    butterfly is elementwise:
+
+        fwd (CT):  m = shoup(B, w);  A' = A + m,  B' = A - m
+        inv (GS):  A' = A + B,       B' = shoup(A - B, w)
+
+    and the inter-stage exchange is one repack of each plane (roll +
+    select on half-size data) with block size b = pair distance of the
+    NEXT stage in slot space (fwd: n >> (s+2), halving; inv: 2^s,
+    doubling — the exact mirror).  Total per stage: 2 half-size rolls +
+    1 half-size multiply chain, versus 2 full-size rolls + 1 full-size
+    multiply chain in mask/select form.
+
+    Boundary packs are free by construction:
+      entry    A = x[:n/2], B = x[n/2:]          (fwd stage 0, d = n/2)
+      seam     fwd ends with A = even, B = odd slots of the bitrev
+               spectrum — exactly the d=1 pairing GS-rev2std starts with,
+               so pointwise runs per-plane and no repack crosses the seam
+      exit     inv ends with A = out[:n/2], B = out[n/2:] (d = n/2)
+
+    This is the Pease/constant-geometry factorisation of the same
+    transform the FPGA schedules through its brsel/brscramble network
+    (AddressGenerator.v:310-337) — one fixed exchange pattern per stage,
+    re-expressed as vector-register rolls."""
+    n, q = p.n, p.q
+    h = n // 2
+    log2n = p.log2n
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+    shape = (h, tile)
+
+    def bcast(row):
+        return row[:, None]
+
+    def csub2q(x):
+        r = x - two_q
+        return r + ((r >> 31) & two_q)
+
+    def csubq(x):
+        r = x - q32
+        return r + ((r >> 31) & q32)
+
+    def shoup(x, w, wsh):
+        t = (x * wsh) >> 16
+        return x * w - t * q32              # in [0, 2q)
+
+    def block_mask(bsz):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        return ((i // bsz) & 1) == 0
+
+    def repack(A, B, bsz):
+        mask = block_mask(bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, 0))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, 0), B)
+        return A2, B2
+
+    def fwd(A, B, twf, twfsh):
+        for s in range(log2n):
+            m = shoup(B, bcast(twf[s, :]), bcast(twfsh[s, :]))
+            A, B = csub2q(A + m), csub2q(A - m + two_q)
+            if s < log2n - 1:
+                A, B = repack(A, B, n >> (s + 2))
+        return A, B                          # planes in [0, 2q)
+
+    def inv(A, B, twi, twish):
+        for s in range(log2n):
+            m = shoup(csub2q(A - B + two_q), bcast(twi[s, :]),
+                      bcast(twish[s, :]))
+            A, B = csub2q(A + B), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s)
+        return A, B
+
+    def mul_lazy(a, b):
+        z = a * b                            # both < 2^15: z < 2^30
+        hi = z >> 15
+        lo = z & np.int32((1 << 15) - 1)
+        c = (1 << 15) % q
+        r1 = shoup(hi, np.int32(c), np.int32((c << 16) // q))
+        r2 = shoup(lo, np.int32(1), np.int32((1 << 16) // q))
+        return csub2q(r1 + r2)               # [0, 2q)
+
+    ninv = p.n_inv
+    ninv_sh = (ninv << 16) // q
+
+    def scale(x):
+        return csubq(shoup(x, np.int32(ninv), np.int32(ninv_sh)))
+
+    def kernel(a_ref, b_ref, twf_ref, twfsh_ref, twi_ref, twish_ref,
+               out_ref):
+        twf, twfsh = twf_ref[...], twfsh_ref[...]
+        twi, twish = twi_ref[...], twish_ref[...]
+        xa, xb = a_ref[...], b_ref[...]
+        faA, faB = fwd(xa[:h], xa[h:], twf, twfsh)
+        fbA, fbB = fwd(xb[:h], xb[h:], twf, twfsh)
+        A, B = inv(mul_lazy(faA, fbA), mul_lazy(faB, fbB), twi, twish)
+        out_ref[...] = jnp.concatenate([scale(A), scale(B)], axis=0)
+
+    return kernel
+
+
+def _make_kernel_packed_mont(p: NTTParams, tile: int):
+    """Two-plane constant-geometry polymul for 2^14 <= q < 2^29: identical
+    geometry to _make_kernel_packed, digit-serial Montgomery arithmetic
+    identical to _make_kernel_mont (canonical [0, q) values)."""
+    n, q = p.n, p.q
+    h = n // 2
+    log2n = p.log2n
+    q32 = np.int32(q)
+    q0 = np.int32(q & ((1 << 15) - 1))
+    q1 = np.int32(q >> 15)
+    qp = np.int32((-pow(q, -1, 1 << 15)) % (1 << 15))
+    m15 = np.int32((1 << 15) - 1)
+    shape = (h, tile)
+
+    def bcast(row):
+        return row[:, None]
+
+    def csubq(x):
+        r = x - q32
+        return r + ((r >> 31) & q32)
+
+    def subm(x, y):
+        r = x - y
+        return r + ((r >> 31) & q32)
+
+    def redc(H, Mid, L0):
+        u0 = ((L0 & m15) * qp) & m15
+        t1 = (L0 + u0 * q0) >> 15
+        A1 = Mid + u0 * q1 + t1
+        a1h, a1l = A1 >> 15, A1 & m15
+        u1 = (a1l * qp) & m15
+        t2 = (a1l + u1 * q0) >> 15
+        return csubq(csubq(H + a1h + u1 * q1 + t2))
+
+    def mul(x, y):
+        x1, x0 = x >> 15, x & m15
+        y1, y0 = y >> 15, y & m15
+        return redc(x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
+
+    def block_mask(bsz):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        return ((i // bsz) & 1) == 0
+
+    def repack(A, B, bsz):
+        mask = block_mask(bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, 0))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, 0), B)
+        return A2, B2
+
+    def fwd(A, B, twf):
+        for s in range(log2n):
+            m = mul(B, bcast(twf[s, :]))
+            A, B = csubq(A + m), csubq(A - m + q32)
+            if s < log2n - 1:
+                A, B = repack(A, B, n >> (s + 2))
+        return A, B
+
+    def inv(A, B, twi):
+        for s in range(log2n):
+            m = mul(subm(A, B), bcast(twi[s, :]))
+            A, B = csubq(A + B), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s)
+        return A, B
+
+    final = np.int32(p.n_inv * (1 << 30) % q * (1 << 30) % q)
+
+    def kernel(a_ref, b_ref, twf_ref, _twfsh_ref, twi_ref, _twish_ref,
+               out_ref):
+        twf, twi = twf_ref[...], twi_ref[...]
+        xa, xb = a_ref[...], b_ref[...]
+        faA, faB = fwd(xa[:h], xa[h:], twf)
+        fbA, fbB = fwd(xb[:h], xb[h:], twf)
+        A, B = inv(mul(faA, fbA), mul(faB, fbB), twi)
+        fin = jnp.full((), final, jnp.int32)
+        out_ref[...] = jnp.concatenate([mul(A, fin), mul(B, fin)], axis=0)
+
+    return kernel
+
+
 class PallasPolymul:
     """Plan-level wrapper: fused-kernel polymul for (batch, n) int32.
 
@@ -311,7 +525,8 @@ class PallasPolymul:
     takes/returns (n, batch) directly for transpose-free chaining."""
 
     def __init__(self, params: NTTParams, tile: int | None = None,
-                 interpret: bool = False, layout: str = "cm"):
+                 interpret: bool = False, layout: str = "cm",
+                 packed: bool | None = None):
         if not supported(params):
             raise ValueError(
                 f"Pallas kernel needs odd q < 2^29, got {params.q}")
@@ -327,10 +542,20 @@ class PallasPolymul:
             tile = max(128, -(-tile // 128) * 128)  # full lane registers
         self.tile = tile
         self.interpret = interpret
+        # packed two-plane polymul kernel: cm layout, planes need >= one
+        # sublane register (n/2 >= 8)
+        self.packed = (self.cm and n >= 16) if packed is None else packed
+        if self.packed and not (self.cm and n >= 16):
+            raise ValueError("packed kernel needs layout='cm' and n >= 16")
         self._twf, self._twfsh = _dense_stage_tables(
             params, inverse=False, mont=self.mont)
         self._twi, self._twish = _dense_stage_tables(
             params, inverse=True, mont=self.mont)
+        if self.packed:
+            self._ptwf, self._ptwfsh = _packed_stage_tables(
+                params, inverse=False, mont=self.mont)
+            self._ptwi, self._ptwish = _packed_stage_tables(
+                params, inverse=True, mont=self.mont)
 
     def _data_spec(self):
         n, tile = self.params.n, self.tile
@@ -371,6 +596,45 @@ class PallasPolymul:
         return jax.jit(run)
 
     @functools.cached_property
+    def _call_packed(self):
+        """pallas_call around the two-plane constant-geometry kernel
+        (cm layout; twiddle tables are the packed (log2n, n/2) gathers)."""
+        p = self.params
+        n, tile = p.n, self.tile
+        kernel = (_make_kernel_packed_mont if self.mont
+                  else _make_kernel_packed)(p, tile)
+        tw_shape = (p.log2n, n // 2)
+        tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        data_spec = self._data_spec()
+
+        def run(a, b, twf, twfsh, twi, twish):
+            grid = (a.shape[1] // tile,)
+            flops_est = 3 * a.shape[1] * (n // 2) * p.log2n * 10
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[data_spec, data_spec] + [tw_spec] * 4,
+                out_specs=data_spec,
+                out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
+                cost_estimate=pl.CostEstimate(
+                    flops=flops_est,
+                    bytes_accessed=3 * a.size * 4,
+                    transcendentals=0),
+                interpret=self.interpret,
+            )(a, b, twf, twfsh, twi, twish)
+
+        return jax.jit(run)
+
+    def _polymul_cm_call(self, a, b):
+        """Dispatch a padded (n, batch) block to the fastest kernel."""
+        if self.packed:
+            return self._call_packed(a, b, self._ptwf, self._ptwfsh,
+                                     self._ptwi, self._ptwish)
+        return self._call(a, b, self._twf, self._twfsh, self._twi,
+                          self._twish)
+
+    @functools.cached_property
     def _full(self):
         """One jit covering pad + kernel + unpad (no eager dispatch)."""
         n, tile = self.params.n, self.tile
@@ -388,7 +652,7 @@ class PallasPolymul:
                 a = jnp.pad(a, ((0, pad), (0, 0)))
                 b = jnp.pad(b, ((0, pad), (0, 0)))
             if cm:
-                out = self._call(a.T, b.T, twf, twfsh, twi, twish).T
+                out = self._polymul_cm_call(a.T, b.T).T
             else:
                 out = self._call(a, b, twf, twfsh, twi, twish)
             return out[:batch].reshape(*lead, n)
@@ -402,8 +666,6 @@ class PallasPolymul:
         if not self.cm:
             raise ValueError("polymul_cm needs layout='cm'")
         n, tile = self.params.n, self.tile
-        twf, twfsh, twi, twish = (self._twf, self._twfsh, self._twi,
-                                  self._twish)
 
         def full(a, b):
             batch = a.shape[1]
@@ -411,8 +673,8 @@ class PallasPolymul:
             if pad:
                 a = jnp.pad(a, ((0, 0), (0, pad)))
                 b = jnp.pad(b, ((0, 0), (0, pad)))
-            out = self._call(a.astype(jnp.int32), b.astype(jnp.int32),
-                             twf, twfsh, twi, twish)
+            out = self._polymul_cm_call(a.astype(jnp.int32),
+                                        b.astype(jnp.int32))
             return out[:, :batch]
 
         return jax.jit(full)
