@@ -869,6 +869,104 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int,
     return kernel
 
 
+def _make_incomplete_kernel_packed(sub_p: NTTParams, n: int, tile: int):
+    """Two-plane constant-geometry variant of the incomplete kernel.
+
+    Same geometry as _make_kernel_packed with the d=1 stage replaced by
+    the base-case product: forward stops after the d=2 stage, where plane
+    A holds lanes with bit 1 clear ({0,1,4,5,...}) and B their d=2
+    partners — so the (2k, 2k+1) base pairs sit at (even, odd) SLOTS
+    inside each plane and basemul runs per-plane; the inverse's first
+    (d=2) stage consumes exactly that layout, no repack at either seam."""
+    q = sub_p.q
+    h = n // 2
+    log2n = sub_p.log2n + 1                 # full ring size exponent
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+    shape = (h, tile)
+
+    def bcast(row):
+        return row[:, None]
+
+    def csub2q(x):
+        r = x - two_q
+        return r + ((r >> 31) & two_q)
+
+    def csubq(x):
+        r = x - q32
+        return r + ((r >> 31) & q32)
+
+    def shoup(x, w, wsh):
+        t = (x * wsh) >> 16
+        return x * w - t * q32              # in [0, 2q)
+
+    def block_mask(bsz):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        return ((i // bsz) & 1) == 0
+
+    def repack(A, B, bsz):
+        mask = block_mask(bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, 0))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, 0), B)
+        return A2, B2
+
+    def fwd(A, B, twf, twfsh):
+        for s in range(log2n - 1):          # last executed stage: d = 2
+            m = shoup(B, bcast(twf[s, :]), bcast(twfsh[s, :]))
+            A, B = csub2q(A + m), csub2q(A - m + two_q)
+            if s < log2n - 2:
+                A, B = repack(A, B, n >> (s + 2))
+        return A, B
+
+    def inv(A, B, twi, twish):
+        for s in range(1, log2n):           # first executed stage: d = 2
+            m = shoup(csub2q(A - B + two_q), bcast(twi[s - 1, :]),
+                      bcast(twish[s - 1, :]))
+            A, B = csub2q(A + B), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s)
+        return A, B
+
+    def mul_lazy(a, b):
+        z = a * b
+        hi = z >> 15
+        lo = z & np.int32((1 << 15) - 1)
+        c = (1 << 15) % q
+        r1 = shoup(hi, np.int32(c), np.int32((c << 16) // q))
+        r2 = shoup(lo, np.int32(1), np.int32((1 << 16) // q))
+        return csub2q(r1 + r2)              # [0, 2q)
+
+    def pair_swap(x):
+        return jnp.where(block_mask(1), pltpu.roll(x, h - 1, 0),
+                         pltpu.roll(x, 1, 0))
+
+    def basemul(fa, fb, t, tsh):
+        term1 = mul_lazy(fa, fb)
+        cross = mul_lazy(fa, pair_swap(fb))
+        mt = shoup(pair_swap(term1), t, tsh)
+        return csub2q(jnp.where(block_mask(1), term1 + mt,
+                                cross + pair_swap(cross)))
+
+    minv = sub_p.n_inv
+    minv_sh = (minv << 16) // q
+
+    def kernel(a_ref, b_ref, twf_ref, twfsh_ref, twi_ref, twish_ref,
+               t_ref, tsh_ref, out_ref):
+        twf, twfsh = twf_ref[...], twfsh_ref[...]
+        twi, twish = twi_ref[...], twish_ref[...]
+        t, tsh = t_ref[...], tsh_ref[...]   # (h, 2): one column per plane
+        xa, xb = a_ref[...], b_ref[...]
+        faA, faB = fwd(xa[:h], xa[h:], twf, twfsh)
+        fbA, fbB = fwd(xb[:h], xb[h:], twf, twfsh)
+        cA = basemul(faA, fbA, t[:, 0:1], tsh[:, 0:1])
+        cB = basemul(faB, fbB, t[:, 1:2], tsh[:, 1:2])
+        A, B = inv(cA, cB, twi, twish)
+        fin = lambda x: csubq(shoup(x, np.int32(minv), np.int32(minv_sh)))
+        out_ref[...] = jnp.concatenate([fin(A), fin(B)], axis=0)
+
+    return kernel
+
+
 class PallasIncompletePolymul:
     """Fused-kernel negacyclic polymul for rings without 2n-th roots
     (schemes.IncompletePlan levels=1 twin; e.g. Kyber n=256, q=3329).
@@ -876,7 +974,8 @@ class PallasIncompletePolymul:
     see :class:`PallasPolymul`."""
 
     def __init__(self, n: int, q: int, tile: int | None = None,
-                 interpret: bool = False, layout: str = "cm"):
+                 interpret: bool = False, layout: str = "cm",
+                 packed: bool | None = None):
         from ..params import make_params
         if q >= (1 << 14):
             raise ValueError("incomplete Pallas kernel needs q < 2^14")
@@ -886,12 +985,23 @@ class PallasIncompletePolymul:
         self.n, self.q = n, q
         self.cm = layout == "cm"
         self.sub_p = make_params(m, q)      # negacyclic size-m sub-ring
+        if not self.sub_p.psi:
+            # make_params falls back to a cyclic ring when q has no 2m-th
+            # root; a levels-1 incomplete negacyclic product needs one
+            # (q ≡ 1 mod n), else the base-case points don't exist
+            raise ValueError(
+                f"incomplete NTT needs an order-{n} root mod q: "
+                f"q ≡ 1 (mod {n}), got q={q} (use schemes.IncompletePlan "
+                f"with more levels)")
         if tile is None:
             tile = max(8, min(512, (1 << 18) // n))
         if self.cm and not interpret:
             tile = max(128, -(-tile // 128) * 128)
         self.tile = tile
         self.interpret = interpret
+        self.packed = (self.cm and n >= 16) if packed is None else packed
+        if self.packed and not (self.cm and n >= 16):
+            raise ValueError("packed kernel needs layout='cm' and n >= 16")
 
         # interleave the sub-transform's dense stage tables: sub position
         # i lives at lanes 2i and 2i+1
@@ -920,24 +1030,52 @@ class PallasIncompletePolymul:
             self._t = t32[None, :]
             self._tsh = tsh32[None, :]
 
+        if self.packed:
+            log2n = self.sub_p.log2n + 1
+            # forward stages 0..log2n-2 gather the interleaved dense rows
+            # at each stage's slot->lane map; inverse rows are indexed by
+            # executed stage s = 1..log2n-1 (row s-1)
+            fidx = np.stack([_packed_slot_index(n, s, inverse=False)
+                             for s in range(log2n - 1)])
+            iidx = np.stack([_packed_slot_index(n, s, inverse=True)
+                             for s in range(1, log2n)])
+            self._ptwf = np.take_along_axis(self._twf, fidx, axis=1)
+            self._ptwfsh = np.take_along_axis(self._twfsh, fidx, axis=1)
+            self._ptwi = np.take_along_axis(self._twi, iidx, axis=1)
+            self._ptwish = np.take_along_axis(self._twish, iidx, axis=1)
+            # base-case points per plane: after the d=2 stage plane A
+            # holds lanes iA(j) (bit 1 clear), plane B their +2 partners
+            iA = _packed_slot_index(n, log2n - 2, inverse=False)
+            self._pt = np.stack([t32[iA], t32[iA + 2]], axis=1)
+            self._ptsh = np.stack([tsh32[iA], tsh32[iA + 2]], axis=1)
+
     @functools.cached_property
     def _full(self):
         n, tile = self.n, self.tile
         cm = self.cm
-        kernel = _make_incomplete_kernel(self.sub_p, n, tile, cm=cm)
         log2m = self.sub_p.log2n
-        tw_spec = pl.BlockSpec((log2m, n), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)
-        t_spec = pl.BlockSpec(self._t.shape, lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
+        if self.packed:
+            kernel = _make_incomplete_kernel_packed(self.sub_p, n, tile)
+            tw_spec = pl.BlockSpec((log2m, n // 2), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+            t_spec = pl.BlockSpec((n // 2, 2), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+            tabs = (self._ptwf, self._ptwfsh, self._ptwi, self._ptwish,
+                    self._pt, self._ptsh)
+        else:
+            kernel = _make_incomplete_kernel(self.sub_p, n, tile, cm=cm)
+            tw_spec = pl.BlockSpec((log2m, n), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM)
+            t_spec = pl.BlockSpec(self._t.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+            tabs = (self._twf, self._twfsh, self._twi, self._twish,
+                    self._t, self._tsh)
         if cm:
             data_spec = pl.BlockSpec((n, tile), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
         else:
             data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
-        tabs = (self._twf, self._twfsh, self._twi, self._twish,
-                self._t, self._tsh)
 
         def call(a, b):
             batch_axis = 1 if cm else 0
