@@ -326,7 +326,7 @@ def _packed_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
             np.take_along_axis(sh, idx, axis=1))
 
 
-def _make_kernel_packed(p: NTTParams, tile: int):
+def _make_kernel_packed(p: NTTParams, tile: int, cm: bool = True):
     """Fused polymul with butterflies in constant-geometry two-plane form
     (q < 2^14, lazy Shoup).
 
@@ -361,10 +361,11 @@ def _make_kernel_packed(p: NTTParams, tile: int):
     log2n = p.log2n
     q32 = np.int32(q)
     two_q = np.int32(2 * q)
-    shape = (h, tile)
+    axis = 0 if cm else 1
+    shape = (h, tile) if cm else (tile, h)
 
     def bcast(row):
-        return row[:, None]
+        return row[:, None] if cm else row[None, :]
 
     def csub2q(x):
         r = x - two_q
@@ -379,13 +380,13 @@ def _make_kernel_packed(p: NTTParams, tile: int):
         return x * w - t * q32              # in [0, 2q)
 
     def block_mask(bsz):
-        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
         return ((i // bsz) & 1) == 0
 
     def repack(A, B, bsz):
         mask = block_mask(bsz)
-        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, 0))
-        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, 0), B)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, axis))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, axis), B)
         return A2, B2
 
     def fwd(A, B, twf, twfsh):
@@ -420,23 +421,29 @@ def _make_kernel_packed(p: NTTParams, tile: int):
     def scale(x):
         return csubq(shoup(x, np.int32(ninv), np.int32(ninv_sh)))
 
+    def split(x):
+        return (x[:h], x[h:]) if cm else (x[:, :h], x[:, h:])
+
     def kernel(a_ref, b_ref, twf_ref, twfsh_ref, twi_ref, twish_ref,
                out_ref):
         twf, twfsh = twf_ref[...], twfsh_ref[...]
         twi, twish = twi_ref[...], twish_ref[...]
-        xa, xb = a_ref[...], b_ref[...]
-        faA, faB = fwd(xa[:h], xa[h:], twf, twfsh)
-        fbA, fbB = fwd(xb[:h], xb[h:], twf, twfsh)
+        faA, faB = fwd(*split(a_ref[...]), twf, twfsh)
+        fbA, fbB = fwd(*split(b_ref[...]), twf, twfsh)
         A, B = inv(mul_lazy(faA, fbA), mul_lazy(faB, fbB), twi, twish)
-        out_ref[...] = jnp.concatenate([scale(A), scale(B)], axis=0)
+        out_ref[...] = jnp.concatenate([scale(A), scale(B)], axis=axis)
 
     return kernel
 
 
-def _make_kernel_packed_mont(p: NTTParams, tile: int):
+def _make_kernel_packed_mont(p: NTTParams, tile: int, cm: bool = True):
     """Two-plane constant-geometry polymul for 2^14 <= q < 2^29: identical
     geometry to _make_kernel_packed, digit-serial Montgomery arithmetic
-    identical to _make_kernel_mont (canonical [0, q) values)."""
+    identical to _make_kernel_mont (canonical [0, q) values).
+    ``cm=False``: planes are (tile, n/2) with slots on lanes — measured
+    faster for this arithmetic-dominated kernel (lane rolls hide behind
+    the Montgomery chains, and the row-major layout vectorises them
+    better on v5e)."""
     n, q = p.n, p.q
     h = n // 2
     log2n = p.log2n
@@ -445,10 +452,11 @@ def _make_kernel_packed_mont(p: NTTParams, tile: int):
     q1 = np.int32(q >> 15)
     qp = np.int32((-pow(q, -1, 1 << 15)) % (1 << 15))
     m15 = np.int32((1 << 15) - 1)
-    shape = (h, tile)
+    axis = 0 if cm else 1
+    shape = (h, tile) if cm else (tile, h)
 
     def bcast(row):
-        return row[:, None]
+        return row[:, None] if cm else row[None, :]
 
     def csubq(x):
         r = x - q32
@@ -473,13 +481,13 @@ def _make_kernel_packed_mont(p: NTTParams, tile: int):
         return redc(x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
 
     def block_mask(bsz):
-        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
         return ((i // bsz) & 1) == 0
 
     def repack(A, B, bsz):
         mask = block_mask(bsz)
-        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, 0))
-        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, 0), B)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, axis))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, axis), B)
         return A2, B2
 
     def fwd(A, B, twf):
@@ -500,15 +508,18 @@ def _make_kernel_packed_mont(p: NTTParams, tile: int):
 
     final = np.int32(p.n_inv * (1 << 30) % q * (1 << 30) % q)
 
+    def split(x):
+        return (x[:h], x[h:]) if cm else (x[:, :h], x[:, h:])
+
     def kernel(a_ref, b_ref, twf_ref, _twfsh_ref, twi_ref, _twish_ref,
                out_ref):
         twf, twi = twf_ref[...], twi_ref[...]
-        xa, xb = a_ref[...], b_ref[...]
-        faA, faB = fwd(xa[:h], xa[h:], twf)
-        fbA, fbB = fwd(xb[:h], xb[h:], twf)
+        faA, faB = fwd(*split(a_ref[...]), twf)
+        fbA, fbB = fwd(*split(b_ref[...]), twf)
         A, B = inv(mul(faA, fbA), mul(faB, fbB), twi)
         fin = jnp.full((), final, jnp.int32)
-        out_ref[...] = jnp.concatenate([mul(A, fin), mul(B, fin)], axis=0)
+        out_ref[...] = jnp.concatenate([mul(A, fin), mul(B, fin)],
+                                       axis=axis)
 
     return kernel
 
@@ -516,24 +527,35 @@ def _make_kernel_packed_mont(p: NTTParams, tile: int):
 class PallasPolymul:
     """Plan-level wrapper: fused-kernel polymul for (batch, n) int32.
 
-    ``layout="cm"`` (coefficient-major, the default) runs the kernel on
-    (n, batch) blocks — coefficients on sublanes, batch on lanes — where
-    butterfly exchanges are sublane rolls: measured 101 vs 80 G
-    butterflies/s against the cross-lane ``"rows"`` layout on v5e
-    (sw256, batch 8192; the boundary transposes the (batch, n) API needs
-    cost ~3 µs and XLA fuses them into adjacent ops).  ``polymul_cm``
+    ``layout`` picks the block orientation (default: auto per modulus
+    class, measured on v5e at n=256/batch 8192):
+
+    - ``"cm"`` (coefficient-major): (n, batch) blocks, coefficients on
+      sublanes — butterfly exchanges are sublane rolls.  Fastest for the
+      roll-dominated lazy-Shoup kernel (q < 2^14): 173 vs 168 G
+      butterflies/s packed.
+    - ``"rows"``: (batch, n) blocks, exchanges are cross-lane rolls.
+      Fastest for the arithmetic-dominated Montgomery kernel
+      (q >= 2^14): 73 vs 46 G butterflies/s packed — the lane layout
+      vectorises the digit-serial multiply chains better and the rolls
+      hide behind them.
+
+    The boundary transposes the (batch, n) API needs under ``cm`` cost
+    ~3 µs and XLA fuses them into adjacent ops; ``polymul_cm``
     takes/returns (n, batch) directly for transpose-free chaining."""
 
     def __init__(self, params: NTTParams, tile: int | None = None,
-                 interpret: bool = False, layout: str = "cm",
+                 interpret: bool = False, layout: str | None = None,
                  packed: bool | None = None):
         if not supported(params):
             raise ValueError(
                 f"Pallas kernel needs odd q < 2^29, got {params.q}")
-        if layout not in ("rows", "cm"):
+        if layout not in ("rows", "cm", None):
             raise ValueError(f"layout must be 'rows' or 'cm', got {layout}")
         self.params = params
         self.mont = params.q >= (1 << 14)
+        if layout is None:
+            layout = "rows" if self.mont else "cm"
         self.cm = layout == "cm"
         n = params.n
         if tile is None:
@@ -542,11 +564,11 @@ class PallasPolymul:
             tile = max(128, -(-tile // 128) * 128)  # full lane registers
         self.tile = tile
         self.interpret = interpret
-        # packed two-plane polymul kernel: cm layout, planes need >= one
-        # sublane register (n/2 >= 8)
-        self.packed = (self.cm and n >= 16) if packed is None else packed
-        if self.packed and not (self.cm and n >= 16):
-            raise ValueError("packed kernel needs layout='cm' and n >= 16")
+        # packed two-plane polymul kernel: planes need >= one register's
+        # worth of slots (n/2 >= 8)
+        self.packed = (n >= 16) if packed is None else packed
+        if self.packed and n < 16:
+            raise ValueError("packed kernel needs n >= 16")
         self._twf, self._twfsh = _dense_stage_tables(
             params, inverse=False, mont=self.mont)
         self._twi, self._twish = _dense_stage_tables(
@@ -602,15 +624,17 @@ class PallasPolymul:
         p = self.params
         n, tile = p.n, self.tile
         kernel = (_make_kernel_packed_mont if self.mont
-                  else _make_kernel_packed)(p, tile)
+                  else _make_kernel_packed)(p, tile, cm=self.cm)
         tw_shape = (p.log2n, n // 2)
         tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
         data_spec = self._data_spec()
 
+        batch_axis = 1 if self.cm else 0
+
         def run(a, b, twf, twfsh, twi, twish):
-            grid = (a.shape[1] // tile,)
-            flops_est = 3 * a.shape[1] * (n // 2) * p.log2n * 10
+            grid = (a.shape[batch_axis] // tile,)
+            flops_est = 3 * a.shape[batch_axis] * (n // 2) * p.log2n * 10
             return pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -626,8 +650,9 @@ class PallasPolymul:
 
         return jax.jit(run)
 
-    def _polymul_cm_call(self, a, b):
-        """Dispatch a padded (n, batch) block to the fastest kernel."""
+    def _polymul_call(self, a, b):
+        """Dispatch a padded kernel-layout block ((n, batch) for cm,
+        (batch, n) for rows) to the fastest kernel."""
         if self.packed:
             return self._call_packed(a, b, self._ptwf, self._ptwfsh,
                                      self._ptwi, self._ptwish)
@@ -652,9 +677,9 @@ class PallasPolymul:
                 a = jnp.pad(a, ((0, pad), (0, 0)))
                 b = jnp.pad(b, ((0, pad), (0, 0)))
             if cm:
-                out = self._polymul_cm_call(a.T, b.T).T
+                out = self._polymul_call(a.T, b.T).T
             else:
-                out = self._call(a, b, twf, twfsh, twi, twish)
+                out = self._polymul_call(a, b)
             return out[:batch].reshape(*lead, n)
 
         return jax.jit(full)
@@ -673,8 +698,8 @@ class PallasPolymul:
             if pad:
                 a = jnp.pad(a, ((0, 0), (0, pad)))
                 b = jnp.pad(b, ((0, 0), (0, pad)))
-            out = self._polymul_cm_call(a.astype(jnp.int32),
-                                        b.astype(jnp.int32))
+            out = self._polymul_call(a.astype(jnp.int32),
+                                     b.astype(jnp.int32))
             return out[:, :batch]
 
         return jax.jit(full)
