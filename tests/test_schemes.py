@@ -60,3 +60,45 @@ def test_basemul_identity(rng):
     one[:, 0] = 1
     c = np.asarray(kp.polymul_jit(a, one))
     np.testing.assert_array_equal(c, a)
+
+
+def _matvec_oracle(A, s, q):
+    """Independent module-product oracle: schoolbook negacyclic products
+    accumulated with plain modular adds."""
+    r, c, n = A.shape
+    out = np.zeros((r, n), dtype=np.int64)
+    for i in range(r):
+        for j in range(c):
+            out[i] = (out[i]
+                      + ref.schoolbook_negacyclic(A[i, j], s[j], q)) % q
+    return out
+
+
+def test_kyber_matvec(rng):
+    """ML-KEM k=3 module product A_hat*s_hat through the spectral API."""
+    kp = kyber_plan()
+    A = rng.integers(0, 3329, (3, 3, 256)).astype(np.int32)
+    s = rng.integers(0, 3329, (3, 256)).astype(np.int32)
+    got = np.asarray(kp.matvec_jit(A, s))
+    np.testing.assert_array_equal(got, _matvec_oracle(A, s, 3329))
+
+
+def test_plan_matvec(rng):
+    """Full-NTT matvec (Dilithium-style module) vs the same oracle."""
+    from tpu_ntt.params import preset
+    p = preset("sw256")
+    plan = Plan(p)
+    A = rng.integers(0, p.q, (2, 4, 2, 256)).astype(np.int32)
+    s = rng.integers(0, p.q, (2, 2, 256)).astype(np.int32)
+    got = np.asarray(plan.matvec_jit(A, s))
+    assert got.shape == (2, 4, 256)
+    for b in range(2):
+        np.testing.assert_array_equal(
+            got[b], _matvec_oracle(A[b], s[b], p.q))
+
+
+def test_matvec_shape_mismatch():
+    kp = kyber_plan()
+    with pytest.raises(ValueError):
+        kp.matvec(np.zeros((2, 3, 256), np.int32),
+                  np.zeros((2, 256), np.int32))

@@ -140,6 +140,34 @@ class IncompletePlan:
     def polymul_jit(self):
         return jax.jit(self.polymul)
 
+    def matvec(self, A, s):
+        """Module product A (..., r, c, n) x s (..., c, n) -> (..., r, n)
+        with one forward per vector entry, spectral basemul-accumulate,
+        and one inverse per output row — the ML-KEM A_hat*s_hat pattern
+        (Plan.matvec twin for rings without full 2n-th roots; the
+        base-case product is linear, so sums share one inverse)."""
+        A = jnp.asarray(A, jnp.int32)
+        s = jnp.asarray(s, jnp.int32)
+        r, c = A.shape[-3], A.shape[-2]
+        if s.shape[-2] != c:
+            raise ValueError(f"matvec shape mismatch: A cols {c} vs "
+                             f"s entries {s.shape[-2]}")
+        ar = self.arith
+        fs = [self.forward(s[..., j, :]) for j in range(c)]
+        rows = []
+        for i in range(r):
+            acc = None
+            for j in range(c):
+                t = self._basemul(self.forward(A[..., i, j, :]), fs[j])
+                acc = t if acc is None else [ar.add(x, y)
+                                             for x, y in zip(acc, t)]
+            rows.append(self.inverse(acc))
+        return jnp.stack(rows, axis=-2)
+
+    @functools.cached_property
+    def matvec_jit(self):
+        return jax.jit(self.matvec)
+
 
 def kyber_plan() -> IncompletePlan:
     """ML-KEM ring: n=256, q=3329, one missing level (128 quadratic

@@ -186,6 +186,35 @@ class Plan:
         fb = self.forward(b)
         return self.inverse(self.pointwise(fa, fb))
 
+    def matvec(self, A, s):
+        """Module (matrix-of-rings) product: A (..., r, c, n) x
+        s (..., c, n) -> (..., r, n), each entry a ring product.
+
+        The lattice-crypto usage pattern (ML-KEM A_hat*s_hat, ML-DSA):
+        transform the c vector entries once, accumulate the r·c spectral
+        products with modular adds, and run only r inverse transforms —
+        instead of r·c full polymuls.  Spectral pointwise is linear, so
+        the accumulated sum shares one inverse()/scale."""
+        A = jnp.asarray(A, jnp.int32)
+        s = jnp.asarray(s, jnp.int32)
+        r, c = A.shape[-3], A.shape[-2]
+        if s.shape[-2] != c:
+            raise ValueError(f"matvec shape mismatch: A cols {c} vs "
+                             f"s entries {s.shape[-2]}")
+        fs = [self.forward(s[..., j, :]) for j in range(c)]
+        rows = []
+        for i in range(r):
+            acc = None
+            for j in range(c):
+                t = self.pointwise(self.forward(A[..., i, j, :]), fs[j])
+                acc = t if acc is None else self.arith.add(acc, t)
+            rows.append(self.inverse(acc))
+        return jnp.stack(rows, axis=-2)
+
+    @functools.cached_property
+    def matvec_jit(self):
+        return jax.jit(self.matvec)
+
     # -- hardware-flow parity (PolyMult GO with explicit bit-reversal) --
 
     def hw_polymul(self, a, b):
