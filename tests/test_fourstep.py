@@ -1,0 +1,76 @@
+"""Fused four-step Pallas kernel tests (interpret mode on CPU; real-TPU
+execution is covered by bench.py's large config)."""
+
+import numpy as np
+import pytest
+
+from tpu_ntt.ops.fourstep import PallasFourStep, supported
+from tpu_ntt.params import find_params, make_params
+from tpu_ntt.transform import Plan
+
+
+def test_fourstep_mont_bit_exact(rng):
+    """28-bit prime (large-config class): fused kernel == flat XLA Plan,
+    including all-(q-1) lazy-bound rows."""
+    p = find_params(4096, 28)
+    fs = PallasFourStep(p, tile=1, interpret=True)
+    assert fs.mont and fs.n1 * fs.n2 == 4096
+    a = rng.integers(0, p.q, (3, 4096)).astype(np.int32)
+    b = rng.integers(0, p.q, (3, 4096)).astype(np.int32)
+    a[1] = p.q - 1
+    b[1] = p.q - 1
+    np.testing.assert_array_equal(np.asarray(fs.polymul(a, b)),
+                                  np.asarray(Plan(p).polymul_jit(a, b)))
+
+
+def test_fourstep_shoup_bit_exact(rng):
+    """Reference SW modulus q=12289 at n=4096 through the lazy flavor."""
+    p = make_params(4096, 12289)
+    fs = PallasFourStep(p, tile=2, interpret=True)
+    assert not fs.mont
+    a = rng.integers(0, p.q, (3, 4096)).astype(np.int32)
+    b = rng.integers(0, p.q, (3, 4096)).astype(np.int32)
+    a[0] = p.q - 1
+    b[0] = p.q - 1
+    np.testing.assert_array_equal(np.asarray(fs.polymul(a, b)),
+                                  np.asarray(Plan(p).polymul_jit(a, b)))
+
+
+def test_fourstep_cyclic(rng):
+    """x^n - 1 ring (psi=0) — the FPGA hardware-flow semantics."""
+    p = make_params(4096, 12289, negacyclic=False)
+    fs = PallasFourStep(p, tile=1, interpret=True)
+    a = rng.integers(0, p.q, (2, 4096)).astype(np.int32)
+    b = rng.integers(0, p.q, (2, 4096)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(fs.polymul(a, b)),
+                                  np.asarray(Plan(p).polymul_jit(a, b)))
+
+
+def test_fourstep_batch_padding(rng):
+    p = make_params(4096, 12289)
+    fs = PallasFourStep(p, tile=2, interpret=True)
+    a = rng.integers(0, p.q, (3, 4096)).astype(np.int32)   # 3 % 2 != 0
+    b = rng.integers(0, p.q, (3, 4096)).astype(np.int32)
+    c = np.asarray(fs.polymul(a, b))
+    assert c.shape == (3, 4096)
+    np.testing.assert_array_equal(
+        c[2], np.asarray(Plan(p).polymul_jit(a[2:], b[2:]))[0])
+
+
+def test_fourstep_explicit_split(rng):
+    p = make_params(4096, 12289)
+    fs = PallasFourStep(p, n1=16, tile=1, interpret=True)
+    assert (fs.n1, fs.n2) == (16, 256)
+    a = rng.integers(0, p.q, (2, 4096)).astype(np.int32)
+    b = rng.integers(0, p.q, (2, 4096)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(fs.polymul(a, b)),
+                                  np.asarray(Plan(p).polymul_jit(a, b)))
+
+
+def test_fourstep_supported_gate():
+    assert not supported(make_params(256, 12289))       # too small
+    assert supported(find_params(1 << 16, 28))
+    big = find_params(4096, 30)
+    assert not supported(big)                            # q >= 2^29
+    with pytest.raises(ValueError):
+        PallasFourStep(make_params(256, 12289))

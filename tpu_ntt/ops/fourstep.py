@@ -1,0 +1,354 @@
+"""Fused four-step Pallas kernel: whole large-n polymul in one VMEM pass.
+
+For n = n1·n2 too large for the flat (n, tile) kernel to be efficient,
+the four-step factorisation (the same one parallel/sharded.py distributes
+over a mesh — column NTTs, twist, row NTTs; see its module docstring for
+the algebra and the FPGA analogy) runs entirely inside one Pallas block:
+
+    (T, n1, n2) coefficient matrices -> column transforms along the
+    SUBLANE axis, twist, row transforms along the LANE axis — no
+    transpose, no per-stage HBM round-trips.
+
+The XLA ShardedPlan path on a single chip materialises every butterfly
+stage to HBM (~35 passes x the array size per product): measured
+HBM-bound at n=2^16 (~560 GB/s of a v5e's ~810). Here the whole product
+touches HBM 3 times (a, b in; c out).
+
+Both sub-transforms use the packed two-plane constant-geometry form of
+ops/butterfly.py (butterflies elementwise on half-planes, roll+select
+repacks, free seams): the representation nests — the column spectrum
+stays in packed (even, odd) plane order while the row transforms run
+along lanes inside each plane, the pointwise product is elementwise in
+any consistent layout, and both inverses start exactly at their packed
+seams.  Twist tables are gathered host-side into the packed row order.
+
+Scale bookkeeping matches parallel/sharded.py exactly: the inverse twist
+folds n^-1 and arith.pointwise_fix (R for Montgomery — cancelling the
+one data x data pointwise multiply's R^-1), so the output is canonical
+with no separate final scale.
+
+Reference lineage: the four-step split of NTTN.v's monolithic stage loop
+(NTTN.v:190-198) with the twist playing the role of the inter-bank
+brscramble exchange (AddressGenerator.v:310-337) at matrix scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import NTTParams, make_params, modinv
+from ..utils.bitrev import bit_reverse_indices
+from .butterfly import _packed_stage_tables
+
+__all__ = ["PallasFourStep", "supported"]
+
+
+def _default_split(n: int) -> tuple[int, int]:
+    """n2 takes the lane axis: keep it at full-register multiples."""
+    n2 = min(512, max(128, n // 256))
+    while n2 * 16 > n:
+        n2 //= 2
+    return n // n2, n2
+
+
+def supported(params: NTTParams, n1: int | None = None) -> bool:
+    if params.q >= (1 << 29) or params.q % 2 == 0:
+        return False
+    if n1 is None:
+        if params.n < 16 * 128:
+            return False
+        n1, n2 = _default_split(params.n)
+    else:
+        n2 = params.n // n1
+    # VMEM budget: ~10 live (n1, n2) int32 planes per block
+    return (n1 >= 16 and n2 >= 128 and n1 * n2 * 4 * 10 < (1 << 25)
+            and params.n == n1 * n2)
+
+
+def _make_fourstep_kernel(p1: NTTParams, p2: NTTParams, q: int, tile: int):
+    """Kernel factory. p1: negacyclic column sub-ring (psi^n2 merged);
+    p2: cyclic row sub-ring (omega^n1). Shoup flavor for q < 2^14,
+    digit-serial Montgomery for larger q (same arithmetic as
+    ops/butterfly's flat kernels)."""
+    n1, n2 = p1.n, p2.n
+    h1, h2 = n1 // 2, n2 // 2
+    l1, l2 = p1.log2n, p2.log2n
+    mont = q >= (1 << 14)
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+    m15 = np.int32((1 << 15) - 1)
+
+    def csubq(x):
+        r = x - q32
+        return r + ((r >> 31) & q32)
+
+    def csub2q(x):
+        r = x - two_q
+        return r + ((r >> 31) & two_q)
+
+    if mont:
+        q0 = np.int32(q & ((1 << 15) - 1))
+        q1 = np.int32(q >> 15)
+        qp = np.int32((-pow(q, -1, 1 << 15)) % (1 << 15))
+
+        def redc(H, Mid, L0):
+            u0 = ((L0 & m15) * qp) & m15
+            t1 = (L0 + u0 * q0) >> 15
+            A1 = Mid + u0 * q1 + t1
+            a1h, a1l = A1 >> 15, A1 & m15
+            u1 = (a1l * qp) & m15
+            t2 = (a1l + u1 * q0) >> 15
+            return csubq(csubq(H + a1h + u1 * q1 + t2))
+
+        def cmul(x, w, _wsh):
+            """x times a Montgomery-form (w·R) constant."""
+            x1, x0 = x >> 15, x & m15
+            y1, y0 = w >> 15, w & m15
+            return redc(x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
+
+        dmul = lambda x, y: cmul(x, y, None)  # data x data: leaves R^-1
+        badd = lambda A, m: csubq(A + m)
+        bsub = lambda A, m: csubq(A - m + q32)
+
+        def gsub(A, B):
+            r = A - B
+            return r + ((r >> 31) & q32)
+    else:
+        def cmul(x, w, wsh):
+            t = (x * wsh) >> 16
+            return x * w - t * q32           # in [0, 2q)
+
+        def dmul(a, b):
+            z = a * b                        # both < 2^15: z < 2^30
+            hi = z >> 15
+            lo = z & np.int32((1 << 15) - 1)
+            c = (1 << 15) % q
+            r1 = cmul(hi, np.int32(c), np.int32((c << 16) // q))
+            r2 = cmul(lo, np.int32(1), np.int32((1 << 16) // q))
+            return csub2q(r1 + r2)           # [0, 2q)
+
+        badd = lambda A, m: csub2q(A + m)
+        bsub = lambda A, m: csub2q(A - m + two_q)
+        gsub = lambda A, B: csub2q(A - B + two_q)
+
+    def block_mask(shape, axis, bsz):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        return ((i // bsz) & 1) == 0
+
+    def repack(A, B, bsz, axis, h):
+        mask = block_mask(A.shape, axis, bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, axis))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, axis), B)
+        return A2, B2
+
+    def bcast(row, axis):
+        """(k,) stage table -> broadcastable over a (T, s1, s2) plane."""
+        return row[None, :, None] if axis == 1 else row[None, None, :]
+
+    def packed_fwd(A, B, tw, twsh, log2n, n, h, axis):
+        for s in range(log2n):
+            m = cmul(B, bcast(tw[s], axis), bcast(twsh[s], axis))
+            A, B = badd(A, m), bsub(A, m)
+            if s < log2n - 1:
+                A, B = repack(A, B, n >> (s + 2), axis, h)
+        return A, B                          # packed (even, odd) planes
+
+    def packed_inv(A, B, tw, twsh, log2n, h, axis):
+        for s in range(log2n):
+            m = cmul(gsub(A, B), bcast(tw[s], axis), bcast(twsh[s], axis))
+            if mont:
+                A, B = csubq(A + B), m
+            else:
+                A, B = csub2q(A + B), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s, axis, h)
+        return A, B
+
+    def fwd_spectrum(x, ctwf, ctwfsh, rtwf, rtwfsh, twfA, twfAsh,
+                     twfB, twfBsh):
+        """(T, n1, n2) -> four packed quadrants (T, h1, h2)."""
+        A, B = x[:, :h1], x[:, h1:]
+        A, B = packed_fwd(A, B, ctwf, ctwfsh, l1, n1, h1, axis=1)
+        A = cmul(A, twfA[None], twfAsh[None])       # (h1, n2) twist
+        B = cmul(B, twfB[None], twfBsh[None])
+        AA, AB = packed_fwd(A[..., :h2], A[..., h2:], rtwf, rtwfsh,
+                            l2, n2, h2, axis=2)
+        BA, BB = packed_fwd(B[..., :h2], B[..., h2:], rtwf, rtwfsh,
+                            l2, n2, h2, axis=2)
+        return AA, AB, BA, BB
+
+    def kernel(a_ref, b_ref, ctwf_ref, ctwfsh_ref, ctwi_ref, ctwish_ref,
+               rtwf_ref, rtwfsh_ref, rtwi_ref, rtwish_ref,
+               twf_ref, twfsh_ref, twi_ref, twish_ref, out_ref):
+        ctwf, ctwfsh = ctwf_ref[...], ctwfsh_ref[...]
+        ctwi, ctwish = ctwi_ref[...], ctwish_ref[...]
+        rtwf, rtwfsh = rtwf_ref[...], rtwfsh_ref[...]
+        rtwi, rtwish = rtwi_ref[...], rtwish_ref[...]
+        twf, twfsh = twf_ref[...], twfsh_ref[...]
+        twi, twish = twi_ref[...], twish_ref[...]
+
+        fa = fwd_spectrum(a_ref[...], ctwf, ctwfsh, rtwf, rtwfsh,
+                          twf[:h1], twfsh[:h1], twf[h1:], twfsh[h1:])
+        fb = fwd_spectrum(b_ref[...], ctwf, ctwfsh, rtwf, rtwfsh,
+                          twf[:h1], twfsh[:h1], twf[h1:], twfsh[h1:])
+        cAA, cAB, cBA, cBB = (dmul(x, y) for x, y in zip(fa, fb))
+
+        A = jnp.concatenate(
+            packed_inv(cAA, cAB, rtwi, rtwish, l2, h2, axis=2), axis=2)
+        B = jnp.concatenate(
+            packed_inv(cBA, cBB, rtwi, rtwish, l2, h2, axis=2), axis=2)
+        A = cmul(A, twi[None, :h1], twish[None, :h1])   # inverse twist
+        B = cmul(B, twi[None, h1:], twish[None, h1:])   # (incl. n^-1·fix)
+        A, B = packed_inv(A, B, ctwi, ctwish, l1, h1, axis=1)
+        out = jnp.concatenate([A, B], axis=1)
+        if not mont:
+            out = csubq(out)                 # lazy [0,2q) -> canonical
+        out_ref[...] = out
+
+    return kernel
+
+
+class PallasFourStep:
+    """Plan-level wrapper: fused four-step polymul for (batch, n) int32,
+    n = n1·n2 with n1 on sublanes and n2 on lanes (default split keeps
+    n2 at 128–512 lanes).  API-compatible with PallasPolymul.polymul."""
+
+    def __init__(self, params: NTTParams, n1: int | None = None,
+                 tile: int | None = None, interpret: bool = False):
+        if not supported(params, n1):
+            raise ValueError(
+                f"PallasFourStep needs odd q < 2^29 and a supported "
+                f"n1 x n2 split (got n={params.n}, q={params.q})")
+        self.params = params
+        p, q = params, params.q
+        if n1 is None:
+            n1, n2 = _default_split(p.n)
+        else:
+            n2 = p.n // n1
+        self.n1, self.n2 = n1, n2
+        self.mont = q >= (1 << 14)
+        if tile is None:
+            tile = max(1, (1 << 16) // p.n)  # polys per block (~256 KiB)
+        self.tile = tile
+        self.interpret = interpret
+
+        # sub-rings: negacyclic columns (psi^n2), cyclic rows (omega^n1)
+        om1 = pow(p.omega, n2, q)
+        psi1 = pow(p.psi, n2, q) if p.psi else 0
+        self.p1 = NTTParams(n=n1, q=q, omega=om1, psi=psi1)
+        self.p2 = NTTParams(n=n2, q=q, omega=pow(p.omega, n1, q), psi=0)
+
+        self._ctwf, self._ctwfsh = _packed_stage_tables(
+            self.p1, inverse=False, mont=self.mont)
+        self._ctwi, self._ctwish = _packed_stage_tables(
+            self.p1, inverse=True, mont=self.mont)
+        self._rtwf, self._rtwfsh = _packed_stage_tables(
+            self.p2, inverse=False, mont=self.mont)
+        self._rtwi, self._rtwish = _packed_stage_tables(
+            self.p2, inverse=True, mont=self.mont)
+        self._twist_tables()
+
+    def _twist_tables(self):
+        """Step-3 twist tables in (n1-position, i2) orientation, gathered
+        into the packed row order (even slots ‖ odd slots), with the
+        inverse folding n^-1 and the pointwise fix — the single-block
+        twin of parallel/sharded.ShardedPlan._twiddles."""
+        p, q = self.params, self.params.q
+        n1, n2 = self.n1, self.n2
+        k1 = bit_reverse_indices(n1)
+        exp = (k1[:, None].astype(np.int64)
+               * np.arange(n2, dtype=np.int64)[None, :]) % p.n
+        psi = p.psi if p.psi else 1
+        psi_inv = modinv(psi, q) if p.psi else 1
+
+        def powers(base, count):
+            out = np.empty(count, dtype=np.int64)
+            acc = 1
+            for i in range(count):
+                out[i] = acc
+                acc = acc * base % q
+            return out
+
+        w_pow = powers(p.omega, p.n)
+        wi_pow = powers(p.omega_inv, p.n)
+        psi_row = powers(psi, n2)[None, :]
+        psi_inv_row = powers(psi_inv, n2)[None, :]
+        fix = (1 << 30) % q if self.mont else 1
+        inv_scale = modinv(p.n, q) * fix % q
+
+        fwd = w_pow[exp] * psi_row % q                  # (n1-pos, i2)
+        inv = wi_pow[exp] * psi_inv_row % q * inv_scale % q
+        pack = np.concatenate([np.arange(0, n1, 2), np.arange(1, n1, 2)])
+
+        def tabs(m):
+            m = m[pack]
+            if self.mont:
+                return ((m << 30) % q).astype(np.int32), \
+                    np.zeros_like(m, dtype=np.int32)
+            return m.astype(np.int32), ((m << 16) // q).astype(np.int32)
+
+        self._twf, self._twfsh = tabs(fwd)
+        self._twi, self._twish = tabs(inv)
+
+    @functools.cached_property
+    def _call(self):
+        n1, n2, tile = self.n1, self.n2, self.tile
+        kernel = _make_fourstep_kernel(self.p1, self.p2, self.params.q,
+                                       tile)
+
+        def spec(shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        data_spec = pl.BlockSpec((tile, n1, n2), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        tabs = (self._ctwf, self._ctwfsh, self._ctwi, self._ctwish,
+                self._rtwf, self._rtwfsh, self._rtwi, self._rtwish,
+                self._twf, self._twfsh, self._twi, self._twish)
+        specs = [data_spec, data_spec] + [spec(t.shape) for t in tabs]
+
+        def run(a, b):
+            return pl.pallas_call(
+                kernel,
+                grid=(a.shape[0] // tile,),
+                in_specs=specs,
+                out_specs=data_spec,
+                out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
+                cost_estimate=pl.CostEstimate(
+                    flops=3 * a.shape[0] * (self.params.n // 2)
+                    * self.params.log2n * 10,
+                    bytes_accessed=3 * a.size * 4,
+                    transcendentals=0),
+                interpret=self.interpret,
+            )(a, b, *tabs)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _full(self):
+        n1, n2, tile = self.n1, self.n2, self.tile
+        n = self.params.n
+
+        def full(a, b):
+            lead = a.shape[:-1]
+            a = a.astype(jnp.int32).reshape(-1, n1, n2)
+            b = b.astype(jnp.int32).reshape(-1, n1, n2)
+            batch = a.shape[0]
+            pad = (-batch) % tile
+            if pad:
+                a = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                b = jnp.pad(b, ((0, pad), (0, 0), (0, 0)))
+            out = self._call(a, b)
+            return out[:batch].reshape(*lead, n)
+
+        return jax.jit(full)
+
+    def polymul(self, a, b):
+        """Negacyclic (psi set) or cyclic product; canonical in/out."""
+        return self._full(jnp.asarray(a), jnp.asarray(b))
