@@ -112,17 +112,26 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     if config == "kyber":                    # incomplete NTT, n=256 q=3329
         from tpu_ntt.schemes import kyber_plan
         n, q = 256, 3329
+        a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
+        b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
         if backend in ("auto", "pallas") and jax.devices()[0].platform != "cpu":
             from tpu_ntt.ops.butterfly import PallasIncompletePolymul
             plan = PallasIncompletePolymul(n, q)
-            poly, check = plan.polymul, plan.polymul
+            check = plan.polymul
+            if plan.cm:
+                # chain in the kernel's native (n, batch) layout: the
+                # boundary transposes happen once, not per inner iteration
+                fn_c = _chain(plan.polymul_cm, inner)
+                acm, bcm = a.T, b.T
+                fn = lambda: fn_c(acm, bcm)
+            else:
+                fn_c = _chain(plan.polymul, inner)
+                fn = lambda: fn_c(a, b)
         else:
             plan = kyber_plan()
-            poly, check = plan.polymul, plan.polymul_jit
-        a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-        b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-        fn_c = _chain(poly, inner)
-        fn = lambda: fn_c(a, b)
+            check = plan.polymul_jit
+            fn_c = _chain(plan.polymul, inner)
+            fn = lambda: fn_c(a, b)
         check_fn = lambda: check(a, b)
         bf = inner * 3 * batch * 2 * (128 // 2) * 7   # 2 size-128 sub-NTTs
     elif config == "bigq62":                 # RNS channels + CRT, n=4096
@@ -196,8 +205,17 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         n, q = p.n, p.q
         a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
         b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-        fn_c = _chain(fn_impl, inner)
-        fn = lambda: fn_c(a, b)
+        if backend == "pallas" and getattr(impl, "cm", False):
+            # chain in the kernel's native coefficient-major (n, batch)
+            # layout so the boundary transposes happen once per dispatch,
+            # not once per inner iteration (3 relayouts x batch x n x 4B
+            # of HBM traffic per product otherwise)
+            fn_c = _chain(impl.polymul_cm, inner)
+            acm, bcm = a.T, b.T
+            fn = lambda: fn_c(acm, bcm)
+        else:
+            fn_c = _chain(fn_impl, inner)
+            fn = lambda: fn_c(a, b)
         check_fn = lambda: check_impl(a, b)
         bf = inner * _butterflies(n, p.log2n, batch)
 
