@@ -379,6 +379,17 @@ def _make_kernel_packed(p: NTTParams, tile: int, cm: bool = True):
         t = (x * wsh) >> 16
         return x * w - t * q32              # in [0, 2q)
 
+    def shoup_u(x, w, wsh):
+        # Shoup multiply valid for ANY x in [0, 2^16) (Harvey bounds):
+        # x*wsh can exceed int31 so the t-product runs on uint32 lanes;
+        # x*w and t*q both stay < 2^30
+        t = ((x.astype(jnp.uint32) * jnp.uint32(wsh)) >> 16)
+        return x * w - t.astype(jnp.int32) * q32   # in [0, 2q)
+
+    def shoup_u_row(x, w, wsh):
+        t = ((x.astype(jnp.uint32) * wsh.astype(jnp.uint32)) >> 16)
+        return x * w - t.astype(jnp.int32) * q32
+
     def block_mask(bsz):
         i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
         return ((i // bsz) & 1) == 0
@@ -390,30 +401,37 @@ def _make_kernel_packed(p: NTTParams, tile: int, cm: bool = True):
         return A2, B2
 
     def fwd(A, B, twf, twfsh):
+        # Harvey lazy CT: planes live in [0, 4q) (< 2^16) BETWEEN stages;
+        # only the add operand is conditionally reduced, saving one csub2q
+        # per butterfly vs reducing both outputs
         for s in range(log2n):
-            m = shoup(B, bcast(twf[s, :]), bcast(twfsh[s, :]))
-            A, B = csub2q(A + m), csub2q(A - m + two_q)
+            a0 = csub2q(A)                  # [0, 2q)
+            m = shoup_u_row(B, bcast(twf[s, :]), bcast(twfsh[s, :]))
+            A, B = a0 + m, a0 + two_q - m   # [0, 4q)
             if s < log2n - 1:
                 A, B = repack(A, B, n >> (s + 2))
-        return A, B                          # planes in [0, 2q)
+        return A, B                          # planes in [0, 4q)
 
     def inv(A, B, twi, twish):
+        # GS with [0, 2q) invariant; A-B+2q < 4q goes straight into the
+        # uint32-capable Shoup multiply (no pre-reduction)
         for s in range(log2n):
-            m = shoup(csub2q(A - B + two_q), bcast(twi[s, :]),
-                      bcast(twish[s, :]))
+            m = shoup_u_row(A - B + two_q, bcast(twi[s, :]),
+                            bcast(twish[s, :]))
             A, B = csub2q(A + B), m
             if s < log2n - 1:
                 A, B = repack(A, B, 1 << s)
         return A, B
 
     def mul_lazy(a, b):
-        z = a * b                            # both < 2^15: z < 2^30
-        hi = z >> 15
-        lo = z & np.int32((1 << 15) - 1)
-        c = (1 << 15) % q
-        r1 = shoup(hi, np.int32(c), np.int32((c << 16) // q))
-        r2 = shoup(lo, np.int32(1), np.int32((1 << 16) // q))
-        return csub2q(r1 + r2)               # [0, 2q)
+        # data x data, both in [0, 4q) < 2^16: the product needs uint32
+        z = a.astype(jnp.uint32) * b.astype(jnp.uint32)
+        hi = (z >> 16).astype(jnp.int32)
+        lo = (z & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        c = (1 << 16) % q
+        r1 = shoup_u(hi, np.int32(c), np.uint32((c << 16) // q))
+        r2 = shoup_u(lo, np.int32(1), np.uint32((1 << 16) // q))
+        return csub2q(r1 + r2)               # [0, 2q): the inv entry bound
 
     ninv = p.n_inv
     ninv_sh = (ninv << 16) // q
@@ -925,6 +943,15 @@ def _make_incomplete_kernel_packed(sub_p: NTTParams, n: int, tile: int):
         t = (x * wsh) >> 16
         return x * w - t * q32              # in [0, 2q)
 
+    def shoup_u(x, w, wsh):
+        # valid for any x in [0, 2^16): t-product on uint32 lanes
+        t = ((x.astype(jnp.uint32) * jnp.uint32(wsh)) >> 16)
+        return x * w - t.astype(jnp.int32) * q32
+
+    def shoup_u_row(x, w, wsh):
+        t = ((x.astype(jnp.uint32) * wsh.astype(jnp.uint32)) >> 16)
+        return x * w - t.astype(jnp.int32) * q32
+
     def block_mask(bsz):
         i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
         return ((i // bsz) & 1) == 0
@@ -936,29 +963,33 @@ def _make_incomplete_kernel_packed(sub_p: NTTParams, n: int, tile: int):
         return A2, B2
 
     def fwd(A, B, twf, twfsh):
+        # Harvey lazy CT: planes in [0, 4q) between stages (see
+        # _make_kernel_packed)
         for s in range(log2n - 1):          # last executed stage: d = 2
-            m = shoup(B, bcast(twf[s, :]), bcast(twfsh[s, :]))
-            A, B = csub2q(A + m), csub2q(A - m + two_q)
+            a0 = csub2q(A)
+            m = shoup_u_row(B, bcast(twf[s, :]), bcast(twfsh[s, :]))
+            A, B = a0 + m, a0 + two_q - m
             if s < log2n - 2:
                 A, B = repack(A, B, n >> (s + 2))
-        return A, B
+        return A, B                          # [0, 4q)
 
     def inv(A, B, twi, twish):
         for s in range(1, log2n):           # first executed stage: d = 2
-            m = shoup(csub2q(A - B + two_q), bcast(twi[s - 1, :]),
-                      bcast(twish[s - 1, :]))
+            m = shoup_u_row(A - B + two_q, bcast(twi[s - 1, :]),
+                            bcast(twish[s - 1, :]))
             A, B = csub2q(A + B), m
             if s < log2n - 1:
                 A, B = repack(A, B, 1 << s)
         return A, B
 
     def mul_lazy(a, b):
-        z = a * b
-        hi = z >> 15
-        lo = z & np.int32((1 << 15) - 1)
-        c = (1 << 15) % q
-        r1 = shoup(hi, np.int32(c), np.int32((c << 16) // q))
-        r2 = shoup(lo, np.int32(1), np.int32((1 << 16) // q))
+        # operands in [0, 4q) < 2^16: product on uint32 lanes
+        z = a.astype(jnp.uint32) * b.astype(jnp.uint32)
+        hi = (z >> 16).astype(jnp.int32)
+        lo = (z & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        c = (1 << 16) % q
+        r1 = shoup_u(hi, np.int32(c), np.uint32((c << 16) // q))
+        r2 = shoup_u(lo, np.int32(1), np.uint32((1 << 16) // q))
         return csub2q(r1 + r2)              # [0, 2q)
 
     def pair_swap(x):
