@@ -119,8 +119,12 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             plan = PallasIncompletePolymul(n, q)
             check = plan.polymul
             if plan.cm:
-                # chain in the kernel's native (n, batch) layout: the
-                # boundary transposes happen once, not per inner iteration
+                # chain in the kernel's native (n, batch) layout.  NOTE:
+                # the (batch, n) API boundary transposes are excluded from
+                # the timed region entirely (inputs pre-transposed at
+                # setup, output never transposed back) — the timed op is
+                # the native-layout product; the API-layout cost is the
+                # two ~3 µs transposes XLA fuses at dispatch boundaries.
                 fn_c = _chain(plan.polymul_cm, inner)
                 acm, bcm = a.T, b.T
                 fn = lambda: fn_c(acm, bcm)
@@ -207,9 +211,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
         if backend == "pallas" and getattr(impl, "cm", False):
             # chain in the kernel's native coefficient-major (n, batch)
-            # layout so the boundary transposes happen once per dispatch,
-            # not once per inner iteration (3 relayouts x batch x n x 4B
-            # of HBM traffic per product otherwise)
+            # layout.  NOTE: the (batch, n) API boundary transposes are
+            # excluded from the timed region (inputs pre-transposed at
+            # setup, output never transposed back); chaining in API layout
+            # would add 3 relayouts x batch x n x 4B of HBM traffic per
+            # inner product, which no real chained workload would pay
             fn_c = _chain(impl.polymul_cm, inner)
             acm, bcm = a.T, b.T
             fn = lambda: fn_c(acm, bcm)

@@ -58,6 +58,21 @@ def supported(params: NTTParams) -> bool:
     return params.q < (1 << 29) and params.q % 2 == 1 and params.n >= 8
 
 
+def _csub(x, m):
+    """Branchless conditional subtract: [0, 2m) -> [0, m)."""
+    r = x - m
+    return r + ((r >> 31) & m)
+
+
+def _shoup_u(x, w, wsh, q32):
+    """Shoup multiply valid for ANY x in [0, 2^16) (Harvey bounds): the
+    x*wsh quotient product can exceed int31 so it runs on uint32 lanes;
+    x*w and t*q both stay < 2^30.  ``w``/``wsh`` may be scalars or rows.
+    Returns x·w mod q in [0, 2q)."""
+    t = (x.astype(jnp.uint32) * jnp.asarray(wsh).astype(jnp.uint32)) >> 16
+    return x * w - t.astype(jnp.int32) * q32
+
+
 # ---------------------------------------------------------------------------
 # host-side table packing: dense per-position twiddles, (log2n, n)
 # ---------------------------------------------------------------------------
@@ -380,15 +395,9 @@ def _make_kernel_packed(p: NTTParams, tile: int, cm: bool = True):
         return x * w - t * q32              # in [0, 2q)
 
     def shoup_u(x, w, wsh):
-        # Shoup multiply valid for ANY x in [0, 2^16) (Harvey bounds):
-        # x*wsh can exceed int31 so the t-product runs on uint32 lanes;
-        # x*w and t*q both stay < 2^30
-        t = ((x.astype(jnp.uint32) * jnp.uint32(wsh)) >> 16)
-        return x * w - t.astype(jnp.int32) * q32   # in [0, 2q)
+        return _shoup_u(x, w, wsh, q32)     # module helper, [0, 2q)
 
-    def shoup_u_row(x, w, wsh):
-        t = ((x.astype(jnp.uint32) * wsh.astype(jnp.uint32)) >> 16)
-        return x * w - t.astype(jnp.int32) * q32
+    shoup_u_row = shoup_u
 
     def block_mask(bsz):
         i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
@@ -435,6 +444,12 @@ def _make_kernel_packed(p: NTTParams, tile: int, cm: bool = True):
 
     ninv = p.n_inv
     ninv_sh = (ninv << 16) // q
+    # scale()'s int32 shoup takes x in [0, 2q) (the inv output bound), so
+    # x·wsh < 2q·2^16 must stay below int32 max: requires 2q < 2^15.  At
+    # the q < 2^14 boundary (q=16381) x·wsh peaks ~295k under 2^31 — if
+    # the q guard or the inv laziness window ever widens, switch scale to
+    # the uint32-quotient _shoup_u.
+    assert 2 * q < (1 << 15), "packed Shoup scale needs 2q < 2^15"
 
     def scale(x):
         return csubq(shoup(x, np.int32(ninv), np.int32(ninv_sh)))
@@ -944,13 +959,9 @@ def _make_incomplete_kernel_packed(sub_p: NTTParams, n: int, tile: int):
         return x * w - t * q32              # in [0, 2q)
 
     def shoup_u(x, w, wsh):
-        # valid for any x in [0, 2^16): t-product on uint32 lanes
-        t = ((x.astype(jnp.uint32) * jnp.uint32(wsh)) >> 16)
-        return x * w - t.astype(jnp.int32) * q32
+        return _shoup_u(x, w, wsh, q32)     # module helper, [0, 2q)
 
-    def shoup_u_row(x, w, wsh):
-        t = ((x.astype(jnp.uint32) * wsh.astype(jnp.uint32)) >> 16)
-        return x * w - t.astype(jnp.int32) * q32
+    shoup_u_row = shoup_u
 
     def block_mask(bsz):
         i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
