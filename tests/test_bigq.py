@@ -174,3 +174,32 @@ def test_bigq_fused_sharded_on_mesh(rng):
                            + s * int(a[r, i]) * int(b[r, j])) % p.q
         got = {int(k): int(c[r, k]) for k in np.nonzero(c[r])[0]}
         assert got == {k: v for k, v in want.items() if v}, r
+
+
+def test_fourstep_channel_plan_matches_stacked(rng):
+    """FourStepChannelPlan (interpret) == StackedChannelPlan on the same
+    residues — the large-n fused channel backend's exactness anchor."""
+    from tpu_ntt.bigq import FourStepChannelPlan, StackedChannelPlan
+    n = 16384
+    p = find_params(n, 45)
+    plan = BigQPlan(p)                    # CPU default: sharded channels
+    primes = plan.primes[:2]              # 2 channels keep interpret fast
+    assert FourStepChannelPlan.supported(n, primes)
+    fs = FourStepChannelPlan(n, primes, interpret=True)
+    st = StackedChannelPlan(n, primes)
+    ra = np.stack([rng.integers(0, pi, (1, n)).astype(np.int32)
+                   for pi in primes])
+    rb = np.stack([rng.integers(0, pi, (1, n)).astype(np.int32)
+                   for pi in primes])
+    np.testing.assert_array_equal(np.asarray(fs.polymul_jit(ra, rb)),
+                                  np.asarray(st.polymul_jit(ra, rb)))
+
+
+def test_bigq_pallas_backend_routes_large_n_to_fourstep():
+    """backend='pallas' at n>8192 picks the fused four-step channel plan
+    (construction-level routing check; kernels not executed on CPU)."""
+    from tpu_ntt.bigq import FourStepChannelPlan
+    p = find_params(16384, 45)
+    plan = BigQPlan(p, backend="pallas")
+    assert isinstance(plan.stacked, FourStepChannelPlan)
+    assert plan.dcrt is not None and plan.channel_plans == []

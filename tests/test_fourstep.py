@@ -74,3 +74,19 @@ def test_fourstep_supported_gate():
     assert not supported(big)                            # q >= 2^29
     with pytest.raises(ValueError):
         PallasFourStep(make_params(256, 12289))
+
+
+def test_fourstep_f32_bit_exact(rng):
+    """Float-assisted-Barrett flavor (2^14 <= q < 2^23) at n=4096,
+    including all-(q-1) rows at the lazy bound."""
+    from tpu_ntt.params import find_ntt_prime
+    q = find_ntt_prime(22, 4096)
+    p = make_params(4096, q)
+    fs = PallasFourStep(p, tile=1, interpret=True)
+    assert fs.flavor == "f32" and not fs.mont
+    a = rng.integers(0, q, (2, 4096)).astype(np.int32)
+    b = rng.integers(0, q, (2, 4096)).astype(np.int32)
+    a[1] = q - 1
+    b[1] = q - 1
+    np.testing.assert_array_equal(np.asarray(fs.polymul(a, b)),
+                                  np.asarray(Plan(p).polymul_jit(a, b)))

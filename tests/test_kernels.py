@@ -57,10 +57,13 @@ def test_pallas_extreme_inputs():
 
 
 def test_pallas_unsupported_q():
-    """Dilithium's 23-bit q takes the Montgomery kernel; q >= 2^29 has no
-    in-kernel strategy (that's the RNS/bigq path)."""
+    """Dilithium's 23-bit q takes the float-Barrett kernel, q >= 2^23 the
+    Montgomery kernel; q >= 2^29 has no in-kernel strategy (that's the
+    RNS/bigq path)."""
     assert supported(preset("dilithium256"))
-    assert PallasPolymul(preset("dilithium256")).mont
+    assert PallasPolymul(preset("dilithium256")).flavor == "f32"
+    from tpu_ntt.params import find_params as _fp
+    assert PallasPolymul(_fp(256, 28)).flavor == "mont"
     from tpu_ntt.params import find_params
     big = find_params(256, 30)
     assert big.q >= (1 << 29)
@@ -293,3 +296,33 @@ def test_pallas_incomplete_cm_matches_rows(rng):
     np.testing.assert_array_equal(np.asarray(cm.polymul(a, b)), want)
     np.testing.assert_array_equal(np.asarray(cm.polymul_cm(a.T, b.T)).T,
                                   want)
+
+
+def test_pallas_f32_boundary_extreme_inputs():
+    """All-(q-1) inputs at the float-Barrett bound: the largest
+    NTT-friendly prime below 2^23 stresses the ±3 quotient-estimate
+    window and the [0, 2q) < 2^24 f32-exactness envelope."""
+    from tpu_ntt.params import find_ntt_prime
+    q = find_ntt_prime(23, 256)
+    assert (1 << 22) < q < (1 << 23)
+    p = make_params(256, q)
+    for layout in ("rows", "cm"):
+        pk = PallasPolymul(p, tile=8, interpret=True, layout=layout)
+        assert pk.flavor == "f32"
+        a = np.full((8, p.n), p.q - 1, dtype=np.int32)
+        c = np.asarray(pk.polymul(a, a))
+        want = ref.schoolbook_negacyclic(
+            a[0].astype(object), a[0].astype(object), p.q)
+        np.testing.assert_array_equal(c[0].astype(object), want)
+
+
+def test_pallas_f32_flat_unpacked(rng):
+    """The non-packed (mask/select) f32 kernel path is exact too."""
+    p = preset("dilithium256")
+    pk = PallasPolymul(p, tile=8, interpret=True, packed=False)
+    a = rng.integers(0, p.q, (5, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (5, p.n)).astype(np.int32)
+    c = np.asarray(pk.polymul(a, b))
+    for i in range(5):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], p.q))

@@ -174,3 +174,16 @@ def test_watchdog_deadline():
     with pytest.raises(RuntimeError):
         retry(lambda: (_ for _ in ()).throw(RuntimeError("always")),
               attempts=2, backoff_s=0.01)
+
+
+def test_engine_large_n_dispatch(monkeypatch):
+    """Single chip + n>8192: the engine picks the fused four-step kernel
+    on an accelerator backend and the XLA ShardedPlan on CPU."""
+    from tpu_ntt.ops.fourstep import PallasFourStep
+    eng = PolyMultEngine(n=16384, q=65537)
+    assert eng.kind == "sharded"          # CPU test env
+    monkeypatch.setattr(PolyMultEngine, "_tpu_default",
+                        staticmethod(lambda: True))
+    eng = PolyMultEngine(n=16384, q=65537)
+    assert eng.kind == "fourstep-pallas"
+    assert isinstance(eng.plan, PallasFourStep)

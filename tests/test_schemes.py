@@ -32,9 +32,9 @@ def test_deeper_truncation(rng):
 
 def test_incomplete_with_montgomery(rng):
     """q=995329 (2-power part 2^12) at n=4096 forces one missing level in
-    MontArith territory."""
+    fix-free float-Barrett territory (2^15 <= q < 2^23)."""
     ip = IncompletePlan(4096, 995329)
-    assert ip.levels == 1 and type(ip.arith).__name__ == "MontArith"
+    assert ip.levels == 1 and type(ip.arith).__name__ == "FBarrettArith"
     a = rng.integers(0, 995329, (1, 4096)).astype(np.int32)
     b = rng.integers(0, 995329, (1, 4096)).astype(np.int32)
     c = np.asarray(ip.polymul_jit(a, b))

@@ -193,6 +193,36 @@ class PallasChannelPlan:
         return jax.jit(self._polymul)
 
 
+class FourStepChannelPlan:
+    """Large-n RNS channels (n > 8192) through fused four-step Pallas
+    kernels (:class:`~tpu_ntt.ops.fourstep.PallasFourStep`), all in ONE
+    jitted graph — the single-chip fast path that replaces routing big-n
+    channels through the HBM-bound XLA ShardedPlan.  API-compatible with
+    :class:`StackedChannelPlan`.
+    """
+
+    def __init__(self, n: int, primes: list[int], interpret: bool = False):
+        from .ops.fourstep import PallasFourStep
+        self.n = n
+        self.primes = [int(p) for p in primes]
+        self.kernels = [PallasFourStep(make_params(n, p),
+                                       interpret=interpret)
+                        for p in self.primes]
+
+    @classmethod
+    def supported(cls, n: int, primes) -> bool:
+        from .ops.fourstep import supported as fs_supported
+        return all(fs_supported(make_params(n, int(p))) for p in primes)
+
+    def _polymul(self, ra, rb):
+        return jnp.stack([k.polymul(ra[i], rb[i])
+                          for i, k in enumerate(self.kernels)])
+
+    @functools.cached_property
+    def polymul_jit(self):
+        return jax.jit(self._polymul)
+
+
 class DeviceCRT:
     """Device-side RNS split + Garner reconstruction + mod-q recombine.
 
@@ -322,10 +352,18 @@ class BigQPlan:
         for p in self.primes:
             self.M *= p
         assert self.M > 2 * n * (q - 1) ** 2
+        if backend == "auto":
+            import jax as _jax
+            backend = ("pallas" if _jax.default_backend() != "cpu"
+                       else "xla")
         # large flat stage-by-stage graphs compile poorly; beyond 8192
-        # points route channels through the four-step plan even on one
-        # device (better compile time and VMEM locality)
-        if mesh is None and n > 8192:
+        # points channels go four-step: the fused Pallas kernel when it
+        # applies (one VMEM pass per channel), else the XLA ShardedPlan
+        # on a 1-device mesh (CPU fallback; better compile time and VMEM
+        # locality than a flat 14+-stage graph either way)
+        if (mesh is None and n > 8192
+                and not (backend == "pallas"
+                         and FourStepChannelPlan.supported(n, self.primes))):
             from .parallel.sharded import make_mesh
             mesh = make_mesh(1)
         self.mesh = mesh
@@ -335,13 +373,12 @@ class BigQPlan:
             # one compile, instead of k sequential plans.  On TPU the
             # channels run as fused Pallas kernels; the jnp fallback covers
             # CPU (and remains the cross-check in tests).
-            if backend == "auto":
-                import jax as _jax
-                backend = ("pallas" if _jax.default_backend() != "cpu"
-                           else "xla")
-            self.stacked = (PallasChannelPlan(n, self.primes)
-                            if backend == "pallas"
-                            else StackedChannelPlan(n, self.primes))
+            if backend == "pallas":
+                self.stacked = (FourStepChannelPlan(n, self.primes)
+                                if n > 8192
+                                else PallasChannelPlan(n, self.primes))
+            else:
+                self.stacked = StackedChannelPlan(n, self.primes)
             self.channel_plans = []
             # device-side split/CRT: only two packed planes per operand
             # cross the host link instead of k residue planes

@@ -23,14 +23,19 @@ brsel/brscramble permutation network (AddressGenerator.v:310-337) becomes
 two lane rotations per stage, and the per-position dense twiddle tables
 absorb all address generation.
 
-Arithmetic comes in two flavors selected by q:
+Arithmetic comes in three flavors selected by q (``_flavor``):
 
 - q < 2^14 — *lazy* Shoup/Harvey: values live in [0, 2q) between
   butterflies (one conditional 2q-subtract per output), only the final
   n^-1 scale maps back to canonical [0, q) — the int32-lane analog of the
   lazy bounds the reference's NTT-RED software documents
   (ntt_red.h:86-137).
-- 2^14 <= q < 2^29 — 15-bit digit-serial Montgomery (the in-kernel twin
+- 2^14 <= q < 2^23 — float-assisted Barrett (ops/modmul.FBarrettArith
+  in-kernel): the f32 VPU estimates each quotient to within ±3 and int32
+  wraparound arithmetic recovers the exact residual — 3 multiplies per
+  butterfly, covering Dilithium's q=8380417.  Values lazy in [0, 2q)
+  (2q < 2^24 keeps f32 conversions exact).
+- 2^23 <= q < 2^29 — 15-bit digit-serial Montgomery (the in-kernel twin
   of ops/modmul.MontArith, itself the lane re-derivation of the FPGA's
   word-level ModRed chain): twiddles stored in Montgomery form w·R mod q
   exactly like the hardware's R-scaled twiddle stream
@@ -77,7 +82,18 @@ def _shoup_u(x, w, wsh, q32):
 # host-side table packing: dense per-position twiddles, (log2n, n)
 # ---------------------------------------------------------------------------
 
-def _dense_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
+def _flavor(q: int) -> str:
+    """Kernel arithmetic class for modulus q (mirrors modmul.select_arith):
+    lazy Shoup (q < 2^14), float-assisted Barrett (q < 2^23),
+    digit-serial Montgomery (q < 2^29)."""
+    if q < (1 << 14):
+        return "shoup"
+    if q < (1 << 23):
+        return "f32"
+    return "mont"
+
+
+def _dense_stage_tables(p: NTTParams, inverse: bool, flavor: str = "shoup"):
     """w_full[s, i] = twiddle of the butterfly pair containing position i
     at stage s (same value at the lo and hi position of a pair).
 
@@ -87,9 +103,10 @@ def _dense_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
     Inverse: GS rev2std (psi^-1 merged): stage s has d=2^s-wide blocks,
     t=n/2d of them; block j uses flat[t + j].
 
-    Returns (table, shoup companion) — Shoup form by default; with
-    ``mont`` the table is in Montgomery form w·R mod q (R=2^30) and the
-    companion slot is the same-shape zero array (unused).
+    Returns (table, companion) per ``flavor``:
+    - "shoup": int32 w, int32 floor(w·2^16/q)
+    - "f32":   int32 w, float32 w/q (quotient-estimate table)
+    - "mont":  int32 w·R mod q (R=2^30), zero companion (unused)
     """
     q = p.q
     base = p.omega_inv if inverse else p.omega
@@ -105,9 +122,12 @@ def _dense_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
             t = p.n // (2 * d)
         tw = flat[t:2 * t]                  # per block j
         out[s] = np.repeat(tw, 2 * d)       # both halves of each block
-    if mont:
+    if flavor == "mont":
         out = out * (1 << 30) % q
         return out.astype(np.int32), np.zeros_like(out, dtype=np.int32)
+    if flavor == "f32":
+        return (out.astype(np.int32),
+                (out.astype(np.float64) / float(q)).astype(np.float32))
     sh = (out << 16) // q
     return out.astype(np.int32), sh.astype(np.int32)
 
@@ -314,6 +334,105 @@ def _make_kernel_mont(p: NTTParams, tile: int, mode: str = "polymul",
     return {"polymul": kernel, "fwd": fwd_kernel, "inv": inv_kernel}[mode]
 
 
+def _make_kernel_f32(p: NTTParams, tile: int, mode: str = "polymul",
+                     cm: bool = False):
+    """Fused polymul kernel for 2^14 <= q < 2^23: float-assisted Barrett
+    (ops/modmul.FBarrettArith re-derived in-kernel).  The f32 VPU path
+    estimates each multiply's quotient to within ±3 and int32 wraparound
+    arithmetic recovers the exact residual — 3 multiplies + 2 lane
+    conversions per butterfly instead of the digit-serial Montgomery
+    chain's 10 multiplies.  Values lazy in [0, 2q) between stages
+    (2q < 2^24 keeps every f32 conversion exact); only the final n^-1
+    scale maps back to canonical [0, q).  Covers Dilithium q=8380417.
+    ``cm``: coefficient-major (n, tile) layout, see _make_kernel."""
+    n, q = p.n, p.q
+    log2n = p.log2n
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+    three_q = np.int32(3 * q)
+    four_q = np.int32(4 * q)
+    qinv_f = np.float32(1.0 / q)
+    axis = 0 if cm else 1
+    shape = (n, tile) if cm else (tile, n)
+
+    def bcast(row):
+        return row[:, None] if cm else row[None, :]
+
+    def fbar(x, w, wf):
+        # x in [0, 2q) < 2^24 (f32-exact); |t - floor(x·w/q)| <= 3, so
+        # x·w - t·q + 3q lands in [0, 7q) and is exact under int32
+        # wraparound (|value| < 2^26 even though raw products are ~2^46)
+        t = (x.astype(jnp.float32) * wf).astype(jnp.int32)
+        r = x * w - t * q32 + three_q
+        return _csub(_csub(r, four_q), two_q)   # [0, 2q)
+
+    def mul_data(x, y):
+        # data x data: pre-correct to canonical so the estimate error
+        # stays within ±2 (three roundings on a < 2^23 quotient)
+        xc = _csub(x, q32)
+        yc = _csub(y, q32)
+        pf = (xc.astype(jnp.float32) * yc.astype(jnp.float32) * qinv_f)
+        t = pf.astype(jnp.int32)
+        r = xc * yc - t * q32 + two_q           # [0, 5q)
+        return _csub(_csub(r, four_q), two_q)   # [0, 2q)
+
+    def lo_mask(d):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        return ((i // d) & 1) == 0
+
+    def fwd(x, twf, twff):
+        for s in range(log2n):
+            d = n >> (s + 1)
+            mask = lo_mask(d)
+            up = pltpu.roll(x, n - d, axis)
+            down = pltpu.roll(x, d, axis)
+            w = bcast(twf[s, :])
+            wf = bcast(twff[s, :])
+            hi_vals = jnp.where(mask, up, x)
+            m = fbar(hi_vals, w, wf)
+            # both branches in [0, 4q): one shared csub2q after the select
+            x = _csub(jnp.where(mask, x + m, down - m + two_q), two_q)
+        return x                                # [0, 2q)
+
+    def inv(x, twi, twif):
+        for s in range(log2n):
+            d = 1 << s
+            mask = lo_mask(d)
+            up = pltpu.roll(x, n - d, axis)
+            down = pltpu.roll(x, d, axis)
+            w = bcast(twi[s, :])
+            wf = bcast(twif[s, :])
+            hi_vals = jnp.where(mask, up, x)
+            lo_vals = jnp.where(mask, x, down)
+            m = fbar(_csub(lo_vals - hi_vals + two_q, two_q), w, wf)
+            x = _csub(jnp.where(mask, lo_vals + hi_vals, m), two_q)
+        return x
+
+    ninv = np.int32(p.n_inv)
+    ninv_f = np.float32(p.n_inv / q)
+
+    def scale(x):
+        return _csub(fbar(x, ninv, ninv_f), q32)
+
+    def kernel(a_ref, b_ref, twf_ref, twff_ref, twi_ref, twif_ref,
+               out_ref):
+        twf, twff = twf_ref[...], twff_ref[...]
+        twi, twif = twi_ref[...], twif_ref[...]
+        fa = fwd(a_ref[...], twf, twff)
+        fb = fwd(b_ref[...], twf, twff)
+        c = inv(mul_data(fa, fb), twi, twif)
+        out_ref[...] = scale(c)
+
+    def fwd_kernel(a_ref, twf_ref, twff_ref, out_ref):
+        out_ref[...] = _csub(fwd(a_ref[...], twf_ref[...], twff_ref[...]),
+                             q32)
+
+    def inv_kernel(a_ref, twi_ref, twif_ref, out_ref):
+        out_ref[...] = scale(inv(a_ref[...], twi_ref[...], twif_ref[...]))
+
+    return {"polymul": kernel, "fwd": fwd_kernel, "inv": inv_kernel}[mode]
+
+
 # ---------------------------------------------------------------------------
 # packed two-plane (constant-geometry) fused kernel
 # ---------------------------------------------------------------------------
@@ -331,10 +450,10 @@ def _packed_slot_index(n: int, s: int, inverse: bool) -> np.ndarray:
     return ((j >> ld) << (ld + 1)) | (j & (d - 1))
 
 
-def _packed_stage_tables(p: NTTParams, inverse: bool, mont: bool = False):
+def _packed_stage_tables(p: NTTParams, inverse: bool, flavor: str = "shoup"):
     """(log2n, n/2) twiddle tables: the dense per-position tables gathered
     at each stage's low-pair positions (pairs share one twiddle)."""
-    tw, sh = _dense_stage_tables(p, inverse, mont)
+    tw, sh = _dense_stage_tables(p, inverse, flavor)
     idx = np.stack([_packed_slot_index(p.n, s, inverse)
                     for s in range(p.log2n)])
     return (np.take_along_axis(tw, idx, axis=1),
@@ -469,6 +588,87 @@ def _make_kernel_packed(p: NTTParams, tile: int, cm: bool = True):
     return kernel
 
 
+def _make_kernel_packed_f32(p: NTTParams, tile: int, cm: bool = True):
+    """Two-plane constant-geometry polymul for 2^14 <= q < 2^23: identical
+    geometry to _make_kernel_packed, float-assisted Barrett arithmetic
+    identical to _make_kernel_f32 (planes lazy in [0, 2q) between stages;
+    every f32 conversion exact since 2q < 2^24)."""
+    n, q = p.n, p.q
+    h = n // 2
+    log2n = p.log2n
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+    three_q = np.int32(3 * q)
+    four_q = np.int32(4 * q)
+    qinv_f = np.float32(1.0 / q)
+    axis = 0 if cm else 1
+    shape = (h, tile) if cm else (tile, h)
+
+    def bcast(row):
+        return row[:, None] if cm else row[None, :]
+
+    def fbar(x, w, wf):
+        # see _make_kernel_f32: x in [0, 2q), result exact in [0, 2q)
+        t = (x.astype(jnp.float32) * wf).astype(jnp.int32)
+        r = x * w - t * q32 + three_q
+        return _csub(_csub(r, four_q), two_q)
+
+    def mul_data(x, y):
+        xc = _csub(x, q32)
+        yc = _csub(y, q32)
+        pf = (xc.astype(jnp.float32) * yc.astype(jnp.float32) * qinv_f)
+        t = pf.astype(jnp.int32)
+        r = xc * yc - t * q32 + two_q
+        return _csub(_csub(r, four_q), two_q)   # [0, 2q)
+
+    def block_mask(bsz):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        return ((i // bsz) & 1) == 0
+
+    def repack(A, B, bsz):
+        mask = block_mask(bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, axis))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, axis), B)
+        return A2, B2
+
+    def fwd(A, B, twf, twff):
+        for s in range(log2n):
+            m = fbar(B, bcast(twf[s, :]), bcast(twff[s, :]))
+            A, B = _csub(A + m, two_q), _csub(A - m + two_q, two_q)
+            if s < log2n - 1:
+                A, B = repack(A, B, n >> (s + 2))
+        return A, B                              # planes in [0, 2q)
+
+    def inv(A, B, twi, twif):
+        for s in range(log2n):
+            m = fbar(_csub(A - B + two_q, two_q), bcast(twi[s, :]),
+                     bcast(twif[s, :]))
+            A, B = _csub(A + B, two_q), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s)
+        return A, B
+
+    ninv = np.int32(p.n_inv)
+    ninv_f = np.float32(p.n_inv / q)
+
+    def scale(x):
+        return _csub(fbar(x, ninv, ninv_f), q32)
+
+    def split(x):
+        return (x[:h], x[h:]) if cm else (x[:, :h], x[:, h:])
+
+    def kernel(a_ref, b_ref, twf_ref, twff_ref, twi_ref, twif_ref,
+               out_ref):
+        twf, twff = twf_ref[...], twff_ref[...]
+        twi, twif = twi_ref[...], twif_ref[...]
+        faA, faB = fwd(*split(a_ref[...]), twf, twff)
+        fbA, fbB = fwd(*split(b_ref[...]), twf, twff)
+        A, B = inv(mul_data(faA, fbA), mul_data(faB, fbB), twi, twif)
+        out_ref[...] = jnp.concatenate([scale(A), scale(B)], axis=axis)
+
+    return kernel
+
+
 def _make_kernel_packed_mont(p: NTTParams, tile: int, cm: bool = True):
     """Two-plane constant-geometry polymul for 2^14 <= q < 2^29: identical
     geometry to _make_kernel_packed, digit-serial Montgomery arithmetic
@@ -586,8 +786,12 @@ class PallasPolymul:
         if layout not in ("rows", "cm", None):
             raise ValueError(f"layout must be 'rows' or 'cm', got {layout}")
         self.params = params
-        self.mont = params.q >= (1 << 14)
+        self.flavor = _flavor(params.q)
+        self.mont = self.flavor == "mont"
         if layout is None:
+            # measured on v5e: the roll-dominated Shoup/f32 kernels prefer
+            # sublane rolls (cm); the arithmetic-dominated Montgomery
+            # kernel prefers lane layout (rolls hide behind the chains)
             layout = "rows" if self.mont else "cm"
         self.cm = layout == "cm"
         n = params.n
@@ -603,14 +807,14 @@ class PallasPolymul:
         if self.packed and n < 16:
             raise ValueError("packed kernel needs n >= 16")
         self._twf, self._twfsh = _dense_stage_tables(
-            params, inverse=False, mont=self.mont)
+            params, inverse=False, flavor=self.flavor)
         self._twi, self._twish = _dense_stage_tables(
-            params, inverse=True, mont=self.mont)
+            params, inverse=True, flavor=self.flavor)
         if self.packed:
             self._ptwf, self._ptwfsh = _packed_stage_tables(
-                params, inverse=False, mont=self.mont)
+                params, inverse=False, flavor=self.flavor)
             self._ptwi, self._ptwish = _packed_stage_tables(
-                params, inverse=True, mont=self.mont)
+                params, inverse=True, flavor=self.flavor)
 
     def _data_spec(self):
         n, tile = self.params.n, self.tile
@@ -620,12 +824,16 @@ class PallasPolymul:
         return pl.BlockSpec((tile, n), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    _FLAT = {"shoup": _make_kernel, "f32": _make_kernel_f32,
+             "mont": _make_kernel_mont}
+    _PACKED = {"shoup": _make_kernel_packed, "f32": _make_kernel_packed_f32,
+               "mont": _make_kernel_packed_mont}
+
     @functools.cached_property
     def _call(self):
         p = self.params
         n, tile = p.n, self.tile
-        kernel = (_make_kernel_mont if self.mont else _make_kernel)(
-            p, tile, cm=self.cm)
+        kernel = self._FLAT[self.flavor](p, tile, cm=self.cm)
         tw_shape = (p.log2n, n)
         tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -656,8 +864,7 @@ class PallasPolymul:
         (cm layout; twiddle tables are the packed (log2n, n/2) gathers)."""
         p = self.params
         n, tile = p.n, self.tile
-        kernel = (_make_kernel_packed_mont if self.mont
-                  else _make_kernel_packed)(p, tile, cm=self.cm)
+        kernel = self._PACKED[self.flavor](p, tile, cm=self.cm)
         tw_shape = (p.log2n, n // 2)
         tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)
@@ -752,8 +959,7 @@ class PallasPolymul:
         """Jitted padded wrapper around the fwd-only/inv-only kernel."""
         p = self.params
         n, tile = p.n, self.tile
-        factory = _make_kernel_mont if self.mont else _make_kernel
-        kernel = factory(p, tile, mode, cm=self.cm)
+        kernel = self._FLAT[self.flavor](p, tile, mode, cm=self.cm)
         tw_shape = (p.log2n, n)
         tw_spec = pl.BlockSpec(tw_shape, lambda i: (0, 0),
                                memory_space=pltpu.VMEM)

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import NTTParams, make_params, modinv
 from ..utils.bitrev import bit_reverse_indices
-from .butterfly import _packed_stage_tables
+from .butterfly import _flavor, _packed_stage_tables
 
 __all__ = ["PallasFourStep", "supported"]
 
@@ -73,13 +73,14 @@ def supported(params: NTTParams, n1: int | None = None) -> bool:
 
 def _make_fourstep_kernel(p1: NTTParams, p2: NTTParams, q: int, tile: int):
     """Kernel factory. p1: negacyclic column sub-ring (psi^n2 merged);
-    p2: cyclic row sub-ring (omega^n1). Shoup flavor for q < 2^14,
-    digit-serial Montgomery for larger q (same arithmetic as
-    ops/butterfly's flat kernels)."""
+    p2: cyclic row sub-ring (omega^n1). Arithmetic flavor per q (the same
+    three classes as ops/butterfly's flat kernels): lazy Shoup (q < 2^14),
+    float-assisted Barrett (q < 2^23), digit-serial Montgomery (< 2^29)."""
     n1, n2 = p1.n, p2.n
     h1, h2 = n1 // 2, n2 // 2
     l1, l2 = p1.log2n, p2.log2n
-    mont = q >= (1 << 14)
+    flavor = _flavor(q)
+    mont = flavor == "mont"
     q32 = np.int32(q)
     two_q = np.int32(2 * q)
     m15 = np.int32((1 << 15) - 1)
@@ -92,7 +93,32 @@ def _make_fourstep_kernel(p1: NTTParams, p2: NTTParams, q: int, tile: int):
         r = x - two_q
         return r + ((r >> 31) & two_q)
 
-    if mont:
+    if flavor == "f32":
+        # float-assisted Barrett (see butterfly._make_kernel_f32 /
+        # modmul.FBarrettArith for the exactness bounds); values lazy
+        # [0, 2q) between stages, 2q < 2^24 keeps f32 conversions exact
+        three_q = np.int32(3 * q)
+        four_q = np.int32(4 * q)
+        qinv_f = np.float32(1.0 / q)
+
+        def csub4q(x):
+            r = x - four_q
+            return r + ((r >> 31) & four_q)
+
+        def cmul(x, w, wf):
+            t = (x.astype(jnp.float32) * wf).astype(jnp.int32)
+            return csub2q(csub4q(x * w - t * q32 + three_q))
+
+        def dmul(x, y):
+            xc, yc = csubq(x), csubq(y)
+            pf = (xc.astype(jnp.float32) * yc.astype(jnp.float32) * qinv_f)
+            t = pf.astype(jnp.int32)
+            return csub2q(csub4q(xc * yc - t * q32 + two_q))
+
+        badd = lambda A, m: csub2q(A + m)
+        bsub = lambda A, m: csub2q(A - m + two_q)
+        gsub = lambda A, B: csub2q(A - B + two_q)
+    elif mont:
         q0 = np.int32(q & ((1 << 15) - 1))
         q1 = np.int32(q >> 15)
         qp = np.int32((-pow(q, -1, 1 << 15)) % (1 << 15))
@@ -185,26 +211,32 @@ def _make_fourstep_kernel(p1: NTTParams, p2: NTTParams, q: int, tile: int):
 
     def kernel(a_ref, b_ref, ctwf_ref, ctwfsh_ref, ctwi_ref, ctwish_ref,
                rtwf_ref, rtwfsh_ref, rtwi_ref, rtwish_ref,
-               twf_ref, twfsh_ref, twi_ref, twish_ref, out_ref):
+               twfA_ref, twfAsh_ref, twfB_ref, twfBsh_ref,
+               twiA_ref, twiAsh_ref, twiB_ref, twiBsh_ref, out_ref):
+        # twist tables arrive pre-split per plane half — slicing a loaded
+        # table in-kernel lowers to a Mosaic gather, which doesn't
+        # lower for these shapes
         ctwf, ctwfsh = ctwf_ref[...], ctwfsh_ref[...]
         ctwi, ctwish = ctwi_ref[...], ctwish_ref[...]
         rtwf, rtwfsh = rtwf_ref[...], rtwfsh_ref[...]
         rtwi, rtwish = rtwi_ref[...], rtwish_ref[...]
-        twf, twfsh = twf_ref[...], twfsh_ref[...]
-        twi, twish = twi_ref[...], twish_ref[...]
+        twfA, twfAsh = twfA_ref[...], twfAsh_ref[...]
+        twfB, twfBsh = twfB_ref[...], twfBsh_ref[...]
+        twiA, twiAsh = twiA_ref[...], twiAsh_ref[...]
+        twiB, twiBsh = twiB_ref[...], twiBsh_ref[...]
 
         fa = fwd_spectrum(a_ref[...], ctwf, ctwfsh, rtwf, rtwfsh,
-                          twf[:h1], twfsh[:h1], twf[h1:], twfsh[h1:])
+                          twfA, twfAsh, twfB, twfBsh)
         fb = fwd_spectrum(b_ref[...], ctwf, ctwfsh, rtwf, rtwfsh,
-                          twf[:h1], twfsh[:h1], twf[h1:], twfsh[h1:])
+                          twfA, twfAsh, twfB, twfBsh)
         cAA, cAB, cBA, cBB = (dmul(x, y) for x, y in zip(fa, fb))
 
         A = jnp.concatenate(
             packed_inv(cAA, cAB, rtwi, rtwish, l2, h2, axis=2), axis=2)
         B = jnp.concatenate(
             packed_inv(cBA, cBB, rtwi, rtwish, l2, h2, axis=2), axis=2)
-        A = cmul(A, twi[None, :h1], twish[None, :h1])   # inverse twist
-        B = cmul(B, twi[None, h1:], twish[None, h1:])   # (incl. n^-1·fix)
+        A = cmul(A, twiA[None], twiAsh[None])   # inverse twist
+        B = cmul(B, twiB[None], twiBsh[None])   # (incl. n^-1·fix)
         A, B = packed_inv(A, B, ctwi, ctwish, l1, h1, axis=1)
         out = jnp.concatenate([A, B], axis=1)
         if not mont:
@@ -232,7 +264,8 @@ class PallasFourStep:
         else:
             n2 = p.n // n1
         self.n1, self.n2 = n1, n2
-        self.mont = q >= (1 << 14)
+        self.flavor = _flavor(q)
+        self.mont = self.flavor == "mont"
         if tile is None:
             tile = max(1, (1 << 16) // p.n)  # polys per block (~256 KiB)
         self.tile = tile
@@ -245,13 +278,13 @@ class PallasFourStep:
         self.p2 = NTTParams(n=n2, q=q, omega=pow(p.omega, n1, q), psi=0)
 
         self._ctwf, self._ctwfsh = _packed_stage_tables(
-            self.p1, inverse=False, mont=self.mont)
+            self.p1, inverse=False, flavor=self.flavor)
         self._ctwi, self._ctwish = _packed_stage_tables(
-            self.p1, inverse=True, mont=self.mont)
+            self.p1, inverse=True, flavor=self.flavor)
         self._rtwf, self._rtwfsh = _packed_stage_tables(
-            self.p2, inverse=False, mont=self.mont)
+            self.p2, inverse=False, flavor=self.flavor)
         self._rtwi, self._rtwish = _packed_stage_tables(
-            self.p2, inverse=True, mont=self.mont)
+            self.p2, inverse=True, flavor=self.flavor)
         self._twist_tables()
 
     def _twist_tables(self):
@@ -291,10 +324,19 @@ class PallasFourStep:
             if self.mont:
                 return ((m << 30) % q).astype(np.int32), \
                     np.zeros_like(m, dtype=np.int32)
+            if self.flavor == "f32":
+                return (m.astype(np.int32),
+                        (m.astype(np.float64) / float(q)).astype(np.float32))
             return m.astype(np.int32), ((m << 16) // q).astype(np.int32)
 
-        self._twf, self._twfsh = tabs(fwd)
-        self._twi, self._twish = tabs(inv)
+        h1 = n1 // 2
+        twf, twfsh = tabs(fwd)
+        twi, twish = tabs(inv)
+        # pre-split per plane half: in-kernel table slicing doesn't lower
+        self._twfA, self._twfB = twf[:h1], twf[h1:]
+        self._twfAsh, self._twfBsh = twfsh[:h1], twfsh[h1:]
+        self._twiA, self._twiB = twi[:h1], twi[h1:]
+        self._twiAsh, self._twiBsh = twish[:h1], twish[h1:]
 
     @functools.cached_property
     def _call(self):
@@ -310,7 +352,8 @@ class PallasFourStep:
                                  memory_space=pltpu.VMEM)
         tabs = (self._ctwf, self._ctwfsh, self._ctwi, self._ctwish,
                 self._rtwf, self._rtwfsh, self._rtwi, self._rtwish,
-                self._twf, self._twfsh, self._twi, self._twish)
+                self._twfA, self._twfAsh, self._twfB, self._twfBsh,
+                self._twiA, self._twiAsh, self._twiB, self._twiBsh)
         specs = [data_spec, data_spec] + [spec(t.shape) for t in tabs]
 
         def run(a, b):

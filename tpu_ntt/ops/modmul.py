@@ -196,10 +196,73 @@ class MontArith(Arith):
         return self.R % self.q
 
 
+@dataclasses.dataclass(frozen=True)
+class FBarrettArith(Arith):
+    """Float-assisted Barrett multiplication for q < 2^23 (exact).
+
+    The quotient estimate runs on f32 VPU lanes, the residual on int32
+    wraparound lanes:
+
+        t  = trunc(f32(x) · f32(w/q))          # |t − ⌊x·w/q⌋| ≤ 3
+        r  = x·w − t·q + 3q   (mod 2^32)       # exact: r ∈ [0, 7q) < 2^26
+        two conditional subtracts → [0, 2q) lazy / one more → canonical
+
+    Exactness argument: for x < 2^24 the f32 conversion is exact and the
+    two roundings (w/q table entry, product) bound the estimate error by
+    x·w/q · 2^-23 ≤ 2.001, so t is within ±3 of the true quotient; the
+    residual x·w − t·q then lies in (−3q, 4q) ⊂ (−2^31, 2^31) and int32
+    wraparound arithmetic recovers it exactly even though the raw products
+    are ~2^46.  This replaces the reference's word-level reduction chain
+    (ModRed_sub.v:35-60) with the TPU's *other* vector unit: the f32 path
+    computes the quotient the FPGA derives digit-serially.
+
+    Costs 3 multiplies + 2 lane conversions per constant multiply — half
+    the digit-serial Montgomery chain — and covers Dilithium's q=8380417
+    (= 2^23 − 2^13 + 1, the largest standard lattice modulus).  Values
+    canonical [0, q) at the API boundary, like ShoupArith.
+    """
+
+    def __post_init__(self):
+        if self.q >= 1 << 23:
+            raise ValueError("FBarrettArith requires q < 2^23")
+
+    def const_table(self, w: np.ndarray):
+        w = np.asarray(w, dtype=np.int64) % self.q
+        # f64 host quotient, one f32 rounding: |δ| ≤ 2^-24 relative
+        wq = (w.astype(np.float64) / float(self.q)).astype(np.float32)
+        return (w.astype(np.int32), wq)
+
+    def _raw(self, x, w, wq):
+        """x·w − t·q + 3q ∈ [0, 7q), exact for x < 2^24."""
+        q = jnp.int32(self.q)
+        t = (x.astype(jnp.float32) * wq).astype(jnp.int32)
+        return x * w - t * q + jnp.int32(3 * self.q)
+
+    def mul_const(self, x, tab, lazy: bool = False):
+        w, wq = tab
+        r = _csub(self._raw(x, w, wq), jnp.int32(4 * self.q))
+        r = _csub(r, jnp.int32(2 * self.q))
+        return r if lazy else _csub(r, jnp.int32(self.q))
+
+    def mul(self, x, y):
+        # data×data: both operands canonical < q < 2^23 → f32-exact;
+        # three roundings (two products + the 1/q constant) keep the
+        # estimate within ±3 of the true quotient
+        q = jnp.int32(self.q)
+        pf = (x.astype(jnp.float32) * y.astype(jnp.float32)
+              * jnp.float32(1.0 / self.q))
+        t = pf.astype(jnp.int32)
+        r = x * y - t * q + jnp.int32(3 * self.q)
+        r = _csub(r, jnp.int32(4 * self.q))
+        return _csub(_csub(r, jnp.int32(2 * self.q)), q)
+
+
 def select_arith(q: int) -> Arith:
     """Pick the fastest exact strategy for modulus q (int32 lanes)."""
     if q < (1 << 15):
         return ShoupArith(q)
+    if q < (1 << 23):
+        return FBarrettArith(q)
     if q < (1 << 29):
         return MontArith(q)
     raise NotImplementedError(

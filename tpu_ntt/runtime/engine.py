@@ -87,13 +87,25 @@ class PolyMultEngine:
                 from ..schemes import IncompletePlan
                 self._plan = IncompletePlan(n, q)
                 self._kind = "incomplete"
-        elif self.mesh is not None or n > 8192:
-            # large rings: four-step even on one device (compile time +
-            # VMEM locality); multi-device when a mesh is given
-            from ..parallel.sharded import ShardedPlan, make_mesh
-            mesh = self.mesh if self.mesh is not None else make_mesh(1)
-            self._plan = ShardedPlan(make_params(n, q), mesh)
+        elif self.mesh is not None:
+            from ..parallel.sharded import ShardedPlan
+            self._plan = ShardedPlan(make_params(n, q), self.mesh)
             self._kind = "sharded"
+        elif n > 8192:
+            # large rings, one chip: the fused four-step Pallas kernel
+            # (whole product in one VMEM pass) when it applies; the XLA
+            # ShardedPlan four-step on a 1-device mesh otherwise (CPU, or
+            # shapes/moduli outside the kernel's envelope)
+            from ..ops import fourstep
+            p = make_params(n, q)
+            if (self.backend in ("auto", "pallas") and self._tpu_default()
+                    and fourstep.supported(p)):
+                self._plan = fourstep.PallasFourStep(p)
+                self._kind = "fourstep-pallas"
+            else:
+                from ..parallel.sharded import ShardedPlan, make_mesh
+                self._plan = ShardedPlan(p, make_mesh(1))
+                self._kind = "sharded"
         elif self.backend == "pallas" or (self.backend == "auto"
                                           and self._tpu_default()):
             from ..ops.butterfly import PallasPolymul
@@ -141,7 +153,7 @@ class PolyMultEngine:
                 sp.shard_coeffs(np.atleast_2d(b))))
         a = np.asarray(a, dtype=np.int64).astype(np.int32)
         b = np.asarray(b, dtype=np.int64).astype(np.int32)
-        if self._kind in ("pallas", "incomplete-pallas"):
+        if self._kind in ("pallas", "incomplete-pallas", "fourstep-pallas"):
             return np.asarray(self._plan.polymul(a, b))
         if self._kind == "mxu":
             return np.asarray(self._plan.polymul_jit(a, b))
