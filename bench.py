@@ -109,7 +109,45 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
     rng = np.random.default_rng(0)
 
-    if config == "kyber":                    # incomplete NTT, n=256 q=3329
+    if config == "kyber_matvec":             # ML-KEM A_hat·s_hat, k=3
+        n, q, k = 256, 3329, 3
+        A = jnp.asarray(rng.integers(0, q, (batch, k, k, n)), jnp.int32)
+        s = jnp.asarray(rng.integers(0, q, (batch, k, n)), jnp.int32)
+        on_tpu = jax.devices()[0].platform != "cpu"
+        if backend in ("auto", "pallas") and on_tpu:
+            from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+            plan = PallasIncompletePolymul(n, q)
+            mv = plan.matvec
+        else:
+            from tpu_ntt.schemes import kyber_plan
+            plan = kyber_plan()
+            mv = plan.matvec_jit
+
+        # chain: feed the output rows back as the next vector (outputs are
+        # canonical ring elements, so the chain stays in-domain)
+        def chained(A_, s_):
+            def body(_, sv):
+                return mv(A_, sv)
+            out = jax.lax.fori_loop(0, inner, body, s_)
+            return out, jnp.max(out)
+
+        fn_c = jax.jit(chained)
+        fn = lambda: fn_c(A, s)
+        # work accounting: k(k+2) transforms per matvec = the butterfly
+        # count of k(k+2)/3 polymuls (each polymul = 3 transforms)
+        bf = inner * batch * k * (k + 2) * 2 * (128 // 2) * 7
+
+        def custom_check():
+            out = np.asarray(_sync(_HostResult(mv(A, s))))
+            for i in range(k):
+                want = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    want = (want + ref.schoolbook_negacyclic(
+                        np.asarray(A[0, i, j]).astype(object),
+                        np.asarray(s[0, j]).astype(object), q)) % q
+                if not np.array_equal(out[0, i].astype(np.int64), want):
+                    raise AssertionError(f"matvec row {i} mismatch")
+    elif config == "kyber":                  # incomplete NTT, n=256 q=3329
         from tpu_ntt.schemes import kyber_plan
         n, q = 256, 3329
         a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
@@ -246,18 +284,22 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
     # correctness spot-check on one row (a single UNchained product —
     # the timed fn may be an inner-repeat chain)
-    if "check_fn" in locals():
+    if "custom_check" in locals():
+        custom_check()
+        out = None
+    elif "check_fn" in locals():
         out = _sync(check_fn())
-    if config == "large" and hasattr(plan, "unshard"):
-        out = plan.unshard(out)
-        a = plan.unshard(a)
-        b = plan.unshard(b)
-    row = np.asarray(out)[0].astype(object)
-    a0 = np.asarray(a[0]).astype(object)
-    b0 = np.asarray(b[0]).astype(object)
-    want = ref.schoolbook_negacyclic(a0, b0, q).astype(object)
-    if not np.array_equal(row, want):
-        raise AssertionError(f"bench {config} failed correctness check")
+    if out is not None:
+        if config == "large" and hasattr(plan, "unshard"):
+            out = plan.unshard(out)
+            a = plan.unshard(a)
+            b = plan.unshard(b)
+        row = np.asarray(out)[0].astype(object)
+        a0 = np.asarray(a[0]).astype(object)
+        b0 = np.asarray(b[0]).astype(object)
+        want = ref.schoolbook_negacyclic(a0, b0, q).astype(object)
+        if not np.array_equal(row, want):
+            raise AssertionError(f"bench {config} failed correctness check")
 
     bf_per_s = bf / med_s
     log(f"[bench] {config}: inner={inner} median {med_s * 1e3:.3f} ms (mean "
@@ -274,7 +316,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 # (config, batch, inner): inner tuned so compile stays tractable while the
 # ~25 ms dispatch round-trip is amortised
 SWEEP = [("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
-         ("dilithium256", 8192, 256), ("large", 16, 128), ("bigq62", 64, 8)]
+         ("kyber_matvec", 2048, 64), ("dilithium256", 8192, 256),
+         ("large", 16, 128), ("bigq62", 64, 8)]
 
 
 def main():

@@ -326,3 +326,45 @@ def test_pallas_f32_flat_unpacked(rng):
     for i in range(5):
         np.testing.assert_array_equal(
             c[i], ref.schoolbook_negacyclic(a[i], b[i], p.q))
+
+
+def test_pallas_incomplete_matvec_matches_plan(rng):
+    """Fused matvec kernel == IncompletePlan.matvec (ML-KEM k=3 and a
+    rectangular 2x4 module at the accumulator bound)."""
+    from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+    from tpu_ntt.schemes import IncompletePlan
+    pk = PallasIncompletePolymul(256, 3329, tile=8, interpret=True)
+    ip = IncompletePlan(256, 3329)
+    for r, c in ((3, 3), (2, 4)):
+        A = rng.integers(0, 3329, (2, r, c, 256)).astype(np.int32)
+        s = rng.integers(0, 3329, (2, c, 256)).astype(np.int32)
+        got = np.asarray(pk.matvec(A, s))
+        want = np.asarray(ip.matvec_jit(A, s))
+        np.testing.assert_array_equal(got, want, err_msg=f"r={r} c={c}")
+        assert got.min() >= 0 and got.max() < 3329
+
+
+def test_pallas_incomplete_matvec_extreme(rng):
+    """All-(q-1) module entries stress the spectral accumulator bound."""
+    from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+    from tpu_ntt.schemes import IncompletePlan
+    pk = PallasIncompletePolymul(256, 3329, tile=8, interpret=True)
+    ip = IncompletePlan(256, 3329)
+    A = np.full((1, 4, 4, 256), 3328, dtype=np.int32)
+    s = np.full((1, 4, 256), 3328, dtype=np.int32)
+    np.testing.assert_array_equal(np.asarray(pk.matvec(A, s)),
+                                  np.asarray(ip.matvec_jit(A, s)))
+
+
+@pytest.mark.parametrize("name", ["sw256", "dilithium256"])
+def test_pallas_full_matvec_matches_plan(rng, name):
+    """PallasPolymul.matvec (unary kernels + spectral accumulate) ==
+    Plan.matvec for both Shoup and f32-Barrett flavors."""
+    from tpu_ntt.transform import Plan
+    p = preset(name)
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    plan = Plan(p)
+    A = rng.integers(0, p.q, (2, 2, 3, p.n)).astype(np.int32)
+    s = rng.integers(0, p.q, (2, 3, p.n)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(pk.matvec(A, s)),
+                                  np.asarray(plan.matvec_jit(A, s)))

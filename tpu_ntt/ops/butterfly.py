@@ -1011,6 +1011,39 @@ class PallasPolymul:
         return self.arith.mul(jnp.asarray(fa, jnp.int32),
                               jnp.asarray(fb, jnp.int32))
 
+    @functools.cached_property
+    def _matvec_jit(self):
+        fwd_k = self._unary("fwd")
+        inv_k = self._unary("inv")
+        ar = self.arith
+
+        def mv(A, s):
+            r, c = A.shape[-3], A.shape[-2]
+            fs = [fwd_k(s[..., j, :]) for j in range(c)]
+            rows = []
+            for i in range(r):
+                acc = None
+                for j in range(c):
+                    t = ar.mul(fwd_k(A[..., i, j, :]), fs[j])
+                    acc = t if acc is None else ar.add(acc, t)
+                rows.append(inv_k(acc))
+            return jnp.stack(rows, axis=-2)
+
+        return jax.jit(mv)
+
+    def matvec(self, A, s):
+        """Module product A (..., r, c, n) × s (..., c, n) -> (..., r, n):
+        c vector transforms, r·c matrix transforms, spectral
+        pointwise-accumulate, r inverses — all through the fused unary
+        kernels in one jit (Plan.matvec fast-path twin, the ML-DSA
+        A_hat·s_hat pattern)."""
+        A = jnp.asarray(A, jnp.int32)
+        s = jnp.asarray(s, jnp.int32)
+        if s.shape[-2] != A.shape[-2] or A.shape[-1] != self.params.n:
+            raise ValueError(f"matvec shape mismatch: A {A.shape} vs "
+                             f"s {s.shape}")
+        return self._matvec_jit(A, s)
+
 
 # ---------------------------------------------------------------------------
 # incomplete (truncated) NTT: the fused Kyber-style kernel
@@ -1240,6 +1273,135 @@ def _make_incomplete_kernel_packed(sub_p: NTTParams, n: int, tile: int):
     return kernel
 
 
+def _make_incomplete_matvec_kernel(sub_p: NTTParams, n: int, tile: int,
+                                   r: int, c: int):
+    """Fused module-product (matvec) kernel: A_hat·s_hat for the
+    incomplete (ML-KEM) ring, specialised to a static (r, c) module shape.
+
+    One block transforms the c vector entries once, transforms each of
+    the r·c matrix entries, base-multiplies and accumulates in the
+    spectral domain (the base-case product is linear, so rows share one
+    inverse), and runs r inverse transforms — 2c + r(c+1) transforms'
+    worth of work for r output polynomials instead of 3·r·c for r·c
+    independent polymuls.  Same packed two-plane geometry and lazy Shoup
+    arithmetic as _make_incomplete_kernel_packed; the spectral
+    accumulator stays exact while (c+1)·2q < 2^15 (c ≤ 4 at Kyber's
+    q=3329).
+    """
+    q = sub_p.q
+    h = n // 2
+    log2n = sub_p.log2n + 1
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+    four_q = np.int32(4 * q)
+    # accumulator: c basemul terms in [0, 2q) sum to < 2cq; the two-fold
+    # normalisation below covers c <= 4 (all ML-KEM module ranks)
+    assert c <= 4, "spectral accumulator fold chain covers c <= 4"
+    shape = (h, tile)
+
+    def bcast(row):
+        return row[:, None]
+
+    def csub(x, m):
+        rr = x - m
+        return rr + ((rr >> 31) & m)
+
+    def csub2q(x):
+        return csub(x, two_q)
+
+    def shoup(x, w, wsh):
+        t = (x * wsh) >> 16
+        return x * w - t * q32
+
+    def shoup_u(x, w, wsh):
+        return _shoup_u(x, w, wsh, q32)
+
+    def block_mask(bsz):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        return ((i // bsz) & 1) == 0
+
+    def repack(A, B, bsz):
+        mask = block_mask(bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, 0))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, 0), B)
+        return A2, B2
+
+    def fwd(A, B, twf, twfsh):
+        for s in range(log2n - 1):          # last executed stage: d = 2
+            a0 = csub2q(A)
+            m = shoup_u(B, bcast(twf[s, :]), bcast(twfsh[s, :]))
+            A, B = a0 + m, a0 + two_q - m
+            if s < log2n - 2:
+                A, B = repack(A, B, n >> (s + 2))
+        return A, B                          # [0, 4q)
+
+    def inv(A, B, twi, twish):
+        for s in range(1, log2n):           # first executed stage: d = 2
+            m = shoup_u(A - B + two_q, bcast(twi[s - 1, :]),
+                        bcast(twish[s - 1, :]))
+            A, B = csub2q(A + B), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s)
+        return A, B
+
+    def mul_lazy(a, b):
+        z = a.astype(jnp.uint32) * b.astype(jnp.uint32)
+        hi = (z >> 16).astype(jnp.int32)
+        lo = (z & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        cc = (1 << 16) % q
+        r1 = shoup_u(hi, np.int32(cc), np.uint32((cc << 16) // q))
+        r2 = shoup_u(lo, np.int32(1), np.uint32((1 << 16) // q))
+        return csub2q(r1 + r2)               # [0, 2q)
+
+    def pair_swap(x):
+        return jnp.where(block_mask(1), pltpu.roll(x, h - 1, 0),
+                         pltpu.roll(x, 1, 0))
+
+    def basemul(fa, fb, t, tsh):
+        term1 = mul_lazy(fa, fb)
+        cross = mul_lazy(fa, pair_swap(fb))
+        mt = shoup(pair_swap(term1), t, tsh)
+        return csub2q(jnp.where(block_mask(1), term1 + mt,
+                                cross + pair_swap(cross)))   # [0, 2q)
+
+    minv = sub_p.n_inv
+    minv_sh = (minv << 16) // q
+
+    def fin(x):
+        return csub(csub2q(shoup(x, np.int32(minv), np.int32(minv_sh))),
+                    q32)
+
+    def kernel(A_ref, s_ref, twf_ref, twfsh_ref, twi_ref, twish_ref,
+               t_ref, tsh_ref, out_ref):
+        twf, twfsh = twf_ref[...], twfsh_ref[...]
+        twi, twish = twi_ref[...], twish_ref[...]
+        t, tsh = t_ref[...], tsh_ref[...]
+        s_all = s_ref[...]
+        A_all = A_ref[...]
+        fs = []
+        for j in range(c):
+            xs = s_all[j * n:(j + 1) * n]
+            fs.append(fwd(xs[:h], xs[h:], twf, twfsh))
+        rows = []
+        for i in range(r):
+            accA = accB = None
+            for j in range(c):
+                xa = A_all[(i * c + j) * n:(i * c + j + 1) * n]
+                faA, faB = fwd(xa[:h], xa[h:], twf, twfsh)
+                bA = basemul(faA, fs[j][0], t[:, 0:1], tsh[:, 0:1])
+                bB = basemul(faB, fs[j][1], t[:, 1:2], tsh[:, 1:2])
+                accA = bA if accA is None else accA + bA
+                accB = bB if accB is None else accB + bB
+            # acc in [0, 2cq) with 2cq < 2^15: two folds -> [0, 2q)
+            accA = csub2q(csub(accA, four_q))
+            accB = csub2q(csub(accB, four_q))
+            A2, B2 = inv(accA, accB, twi, twish)
+            rows.append(jnp.concatenate([fin(A2), fin(B2)], axis=0))
+        out_ref[...] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
 class PallasIncompletePolymul:
     """Fused-kernel negacyclic polymul for rings without 2n-th roots
     (schemes.IncompletePlan levels=1 twin; e.g. Kyber n=256, q=3329).
@@ -1403,3 +1565,64 @@ class PallasIncompletePolymul:
     def polymul_cm(self, a, b):
         """Coefficient-major product: (n, batch) int32 in/out."""
         return self._full_cm(jnp.asarray(a), jnp.asarray(b))
+
+    @functools.lru_cache(maxsize=None)
+    def _matvec_call(self, r: int, c: int):
+        """Jitted fused module-product kernel for a static (r, c) shape.
+        Takes cm-stacked blocks: A (r·c·n, batch), s (c·n, batch) ->
+        (r·n, batch)."""
+        if not (self.packed and self.cm):
+            raise ValueError("matvec kernel needs layout='cm', packed")
+        n, tile = self.n, self.tile
+        kernel = _make_incomplete_matvec_kernel(self.sub_p, n, tile, r, c)
+        log2m = self.sub_p.log2n
+        tw_spec = pl.BlockSpec((log2m, n // 2), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        t_spec = pl.BlockSpec((n // 2, 2), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        A_spec = pl.BlockSpec((r * c * n, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((c * n, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((r * n, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+        tabs = (self._ptwf, self._ptwfsh, self._ptwi, self._ptwish,
+                self._pt, self._ptsh)
+
+        def call(A, s):
+            return pl.pallas_call(
+                kernel,
+                grid=(A.shape[1] // tile,),
+                in_specs=[A_spec, s_spec] + [tw_spec] * 4 + [t_spec] * 2,
+                out_specs=o_spec,
+                out_shape=jax.ShapeDtypeStruct((r * n, A.shape[1]),
+                                               jnp.int32),
+                interpret=self.interpret,
+            )(A, s, *tabs)
+
+        def full(A, s):
+            lead = A.shape[:-3]
+            A = A.astype(jnp.int32).reshape(-1, r * c * n)
+            s = s.astype(jnp.int32).reshape(-1, c * n)
+            batch = A.shape[0]
+            pad = (-batch) % tile
+            if pad:
+                A = jnp.pad(A, ((0, pad), (0, 0)))
+                s = jnp.pad(s, ((0, pad), (0, 0)))
+            out = call(A.T, s.T).T[:batch]
+            return out.reshape(*lead, r, n)
+
+        return jax.jit(full)
+
+    def matvec(self, A, s):
+        """Module product A (..., r, c, n) × s (..., c, n) -> (..., r, n)
+        through ONE fused kernel: c vector transforms, r·c matrix
+        transforms, spectral basemul-accumulate, r inverses — the ML-KEM
+        A_hat·s_hat pattern (IncompletePlan.matvec fast-path twin)."""
+        A = jnp.asarray(A)
+        s = jnp.asarray(s)
+        r, c = A.shape[-3], A.shape[-2]
+        if s.shape[-2] != c or A.shape[-1] != self.n:
+            raise ValueError(f"matvec shape mismatch: A {A.shape} vs "
+                             f"s {s.shape}")
+        return self._matvec_call(r, c)(A, s)
