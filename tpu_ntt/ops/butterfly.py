@@ -1573,7 +1573,13 @@ class PallasIncompletePolymul:
         (r·n, batch)."""
         if not (self.packed and self.cm):
             raise ValueError("matvec kernel needs layout='cm', packed")
-        n, tile = self.n, self.tile
+        n = self.n
+        # VMEM budget: ~(A + s + out blocks, the c cached spectra, and
+        # ~8 half-plane temporaries) int32 planes must fit the ~16 MB
+        # scoped limit; keep ~12 MB for data
+        planes = 2 * r * c + 2 * c + 2 * r + 8
+        tile = min(self.tile,
+                   max(128, (12 << 20) // (planes * n * 4) // 128 * 128))
         kernel = _make_incomplete_matvec_kernel(self.sub_p, n, tile, r, c)
         log2m = self.sub_p.log2n
         tw_spec = pl.BlockSpec((log2m, n // 2), lambda i: (0, 0),
