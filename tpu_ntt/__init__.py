@@ -12,6 +12,8 @@ mesh with collective stage exchanges.
 
 from .params import NTTParams, make_params, find_params, preset, PRESETS
 from . import params, ref
+from .validation import (DomainError, set_validation, validated,
+                         validation_enabled)
 
 __version__ = "0.1.0"
 

@@ -481,6 +481,9 @@ class BigQPlan:
 
     def polymul(self, a, b) -> np.ndarray:
         """Negacyclic product of (batch, n) uint64 arrays, mod big q."""
+        from .validation import check_domain
+        check_domain(a, self.params.q, "bigq polymul a")
+        check_domain(b, self.params.q, "bigq polymul b")
         a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
         b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
         if self.dcrt is not None:

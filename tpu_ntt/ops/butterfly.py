@@ -53,6 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..params import NTTParams, stage_powers
+from ..validation import check_domain
 
 __all__ = ["PallasPolymul", "PallasIncompletePolymul", "supported"]
 
@@ -946,10 +947,14 @@ class PallasPolymul:
 
     def polymul(self, a, b):
         """Negacyclic (psi set) or cyclic product; canonical in/out."""
+        check_domain(a, self.params.q, "polymul a")
+        check_domain(b, self.params.q, "polymul b")
         return self._full(jnp.asarray(a), jnp.asarray(b))
 
     def polymul_cm(self, a, b):
         """Coefficient-major product: (n, batch) int32 in/out."""
+        check_domain(a, self.params.q, "polymul_cm a")
+        check_domain(b, self.params.q, "polymul_cm b")
         return self._full_cm(jnp.asarray(a), jnp.asarray(b))
 
     # -- standalone transforms (Plan.forward/inverse API parity) ---------
@@ -1037,6 +1042,8 @@ class PallasPolymul:
         pointwise-accumulate, r inverses — all through the fused unary
         kernels in one jit (Plan.matvec fast-path twin, the ML-DSA
         A_hat·s_hat pattern)."""
+        check_domain(A, self.params.q, "matvec A")
+        check_domain(s, self.params.q, "matvec s")
         A = jnp.asarray(A, jnp.int32)
         s = jnp.asarray(s, jnp.int32)
         if s.shape[-2] != A.shape[-2] or A.shape[-1] != self.params.n:
@@ -1560,10 +1567,14 @@ class PallasIncompletePolymul:
 
     def polymul(self, a, b):
         """Negacyclic product, canonical [0, q) in/out."""
+        check_domain(a, self.q, "polymul a")
+        check_domain(b, self.q, "polymul b")
         return self._full(jnp.asarray(a), jnp.asarray(b))
 
     def polymul_cm(self, a, b):
         """Coefficient-major product: (n, batch) int32 in/out."""
+        check_domain(a, self.q, "polymul_cm a")
+        check_domain(b, self.q, "polymul_cm b")
         return self._full_cm(jnp.asarray(a), jnp.asarray(b))
 
     @functools.lru_cache(maxsize=None)
@@ -1625,6 +1636,8 @@ class PallasIncompletePolymul:
         through ONE fused kernel: c vector transforms, r·c matrix
         transforms, spectral basemul-accumulate, r inverses — the ML-KEM
         A_hat·s_hat pattern (IncompletePlan.matvec fast-path twin)."""
+        check_domain(A, self.q, "matvec A")
+        check_domain(s, self.q, "matvec s")
         A = jnp.asarray(A)
         s = jnp.asarray(s)
         r, c = A.shape[-3], A.shape[-2]

@@ -220,6 +220,8 @@ class ShardedPlan:
     def shard_coeffs(self, a):
         """Device-put a (batch, n) array as a sharded (batch, n1, n2)
         coefficient matrix — the device_put/DMA-staging analog."""
+        from ..validation import check_domain
+        check_domain(a, self.params.q, "shard_coeffs")
         a = np.asarray(a, dtype=np.int32).reshape(-1, self.n1, self.n2)
         return jax.device_put(
             a, NamedSharding(self.mesh, self.coef_spec))

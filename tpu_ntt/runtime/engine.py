@@ -143,6 +143,9 @@ class PolyMultEngine:
 
     def multiply(self, a, b) -> np.ndarray:
         """The full mode-1/2/3 + readback flow; host arrays in/out."""
+        from ..validation import check_domain
+        check_domain(a, self.q, "engine multiply a")
+        check_domain(b, self.q, "engine multiply b")
         if self._kind == "bigq":
             return self._plan.polymul(np.asarray(a, dtype=np.uint64),
                                       np.asarray(b, dtype=np.uint64))
