@@ -27,6 +27,35 @@ import numpy as np
 
 FPGA_BUTTERFLIES_PER_SEC = 8 * 50e6          # PE x board clock (generous)
 
+# --- roofline model -------------------------------------------------------
+# Ceilings from utils/profiling.py (v5e public-spec numbers).  Per-flavor
+# elementwise lane-op cost of one butterfly in the PACKED two-plane kernels
+# (ops/butterfly._make_kernel_packed*): each butterfly half lives in its own
+# plane and is computed exactly once (unlike the flat mask/select kernels,
+# which compute both branch values full-width — ~2x these counts; see
+# utils/profiling.polymul_roofline's default 32 for that form).  Counts per
+# butterfly = one element in each half-plane:
+#   shoup  q<2^14: csub2q 4 + Shoup mul 6 + add/sub 3 + repack ~6 + ~1
+#                  amortised pointwise/scale                          -> 20
+#   f32    q<2^23: fbar (2 converts + 1 f32 mul + 2 int muls + ~7)
+#                  + add/sub/csub + repack                            -> 26
+#   mont   q<2^29: 15-bit digit-serial REDC (~7 muls + ~12 int ops)
+#                  + add/sub + repack                                 -> 34
+# The fraction published is max(compute_bound, hbm_bound) / measured — a
+# model, not a measurement; BASELINE.json's >=90% target is judged on it.
+OPS_PER_BUTTERFLY = {"shoup": 20.0, "f32": 26.0, "mont": 34.0}
+
+
+def _roofline(flavor: str, bf: float, traffic_bytes: float,
+              measured_s: float) -> dict:
+    from tpu_ntt.utils.profiling import (DEFAULT_HBM_BYTES,
+                                         DEFAULT_VPU_INT_OPS)
+    t_c = OPS_PER_BUTTERFLY[flavor] * bf / DEFAULT_VPU_INT_OPS
+    t_m = traffic_bytes / DEFAULT_HBM_BYTES
+    return {"flavor": flavor,
+            "roofline_bound": "compute" if t_c >= t_m else "hbm",
+            "roofline_fraction": round(max(t_c, t_m) / measured_s, 3)}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -108,6 +137,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     from tpu_ntt.transform import Plan
 
     rng = np.random.default_rng(0)
+    flavor = None                 # set on fused-kernel paths -> roofline
+    traffic = None                # HBM bytes per timed call (default below)
 
     if config == "kyber_matvec":             # ML-KEM A_hat·s_hat, k=3
         n, q, k = 256, 3329, 3
@@ -118,6 +149,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             from tpu_ntt.ops.butterfly import PallasIncompletePolymul
             plan = PallasIncompletePolymul(n, q)
             mv = plan.matvec
+            flavor = "shoup"
+            backend = "pallas"
         else:
             from tpu_ntt.schemes import kyber_plan
             plan = kyber_plan()
@@ -136,6 +169,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         # work accounting: k(k+2) transforms per matvec = the butterfly
         # count of k(k+2)/3 polymuls (each polymul = 3 transforms)
         bf = inner * batch * k * (k + 2) * 2 * (128 // 2) * 7
+        # A (k,k,n) + s (k,n) in, out (k,n): per chained matvec
+        traffic = inner * batch * (k * k + 2 * k) * n * 4
 
         def custom_check():
             out = np.asarray(_sync(_HostResult(mv(A, s))))
@@ -156,6 +191,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             from tpu_ntt.ops.butterfly import PallasIncompletePolymul
             plan = PallasIncompletePolymul(n, q)
             check = plan.polymul
+            flavor = "shoup"
+            backend = "pallas"
             if plan.cm:
                 # chain in the kernel's native (n, batch) layout.  NOTE:
                 # the (batch, n) API boundary transposes are excluded from
@@ -211,7 +248,13 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         else:
             inner = 1                        # host CRT path: no device chain
             fn = lambda: _HostResult(plan.polymul(ah, bh))
-        bf = inner * len(plan.primes) * _butterflies(n, p.log2n, batch)
+        k = len(plan.primes)
+        bf = inner * k * _butterflies(n, p.log2n, batch)
+        if plan.dcrt is not None:
+            flavor = "mont"                  # 29-bit RNS channel primes
+            # packed planes in/out (6) + split writes / kernel reads+writes
+            # / CRT reads of the k residue planes (6k), all (batch, n) int32
+            traffic = inner * batch * n * 4 * (6 + 6 * k)
     elif config == "large":                  # single-chip n=2^16 transform
         from tpu_ntt.ops import fourstep
         p = find_params(1 << 16, 28)
@@ -221,6 +264,9 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             # fused four-step Pallas kernel: the whole product in one VMEM
             # pass (3 HBM touches) vs ~35 stage round-trips on the XLA path
             plan = fourstep.PallasFourStep(p)
+            from tpu_ntt.ops.butterfly import _flavor
+            flavor = _flavor(p.q)
+            backend = "fourstep-pallas"
             a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
             b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
             fn_c = _chain(plan.polymul, inner)
@@ -248,6 +294,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             from tpu_ntt.ops.butterfly import PallasPolymul
             impl = PallasPolymul(p)
             fn_impl, check_impl = impl.polymul, impl.polymul
+            flavor = impl.flavor
         elif backend == "mxu":
             from tpu_ntt.ops.matmul_ntt import MatmulNTT
             impl = MatmulNTT(p)
@@ -306,11 +353,19 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         f"{mean_s * 1e3:.3f}, min {min_s * 1e3:.3f})  "
         f"{inner * batch / med_s:,.0f} polymuls/s  "
         f"{bf_per_s / 1e9:.1f} G butterflies/s")
-    return bf_per_s, {"config": config, "n": n, "q": int(q), "batch": batch,
-                      "median_ms": round(med_s * 1e3, 4),
-                      "mean_ms": round(mean_s * 1e3, 4),
-                      "polymuls_per_s": round(inner * batch / med_s),
-                      "gbutterflies_per_s": round(bf_per_s / 1e9, 2)}
+    detail = {"config": config, "n": n, "q": int(q), "batch": batch,
+              "backend": backend,
+              "median_ms": round(med_s * 1e3, 4),
+              "mean_ms": round(mean_s * 1e3, 4),
+              "polymuls_per_s": round(inner * batch / med_s),
+              "gbutterflies_per_s": round(bf_per_s / 1e9, 2)}
+    if flavor is not None:
+        if traffic is None:
+            traffic = inner * 3 * batch * n * 4   # a, b in; c out, int32
+        detail.update(_roofline(flavor, bf, traffic, med_s))
+        log(f"[bench] {config}: {100 * detail['roofline_fraction']:.0f}% of "
+            f"{detail['roofline_bound']}-bound roofline ({flavor})")
+    return bf_per_s, detail
 
 
 # (config, batch, inner): inner tuned so compile stays tractable while the
@@ -318,6 +373,36 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 SWEEP = [("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
          ("kyber_matvec", 2048, 64), ("dilithium256", 8192, 256),
          ("large", 16, 128), ("bigq62", 64, 8)]
+
+# backend matrix for the "one truth table": the same configs through every
+# implementation so the auto choice is a measurement, not a belief.
+# mxu only supports the full-NTT presets (matmul_ntt exactness envelope).
+BACKEND_MATRIX = [
+    ("sw256", 8192, 512, ("pallas", "xla", "mxu")),
+    ("hw256", 8192, 512, ("pallas", "xla", "mxu")),
+    ("dilithium256", 8192, 256, ("pallas", "xla", "mxu")),
+    ("kyber", 8192, 256, ("pallas", "xla")),
+]
+
+
+def bench_backends(iters, warmup):
+    """Measure every backend per config; write BACKENDS.json."""
+    rows = []
+    for cfg, batch, inner, backends in BACKEND_MATRIX:
+        for be in backends:
+            try:
+                _, d = bench_config(cfg, batch, iters, warmup, backend=be,
+                                    inner=inner)
+                rows.append(d)
+            except Exception as e:           # keep measuring
+                log(f"[bench] {cfg}/{be} FAILED: {type(e).__name__}: {e}")
+    log("[bench] backends: " + json.dumps(rows))
+    try:
+        with open("BACKENDS.json", "w") as f:
+            json.dump(rows, f, indent=1)
+    except OSError:
+        pass
+    return rows
 
 
 def main():
@@ -334,7 +419,12 @@ def main():
                          "long chains amortise it out of the measurement)")
     ap.add_argument("--sweep", action="store_true",
                     help="run every config class; details to stderr")
+    ap.add_argument("--backends", action="store_true",
+                    help="measure every backend per config -> BACKENDS.json")
     args = ap.parse_args()
+
+    if args.backends:
+        bench_backends(max(5, args.iters // 3), args.warmup)
 
     if args.sweep:
         details = []

@@ -22,9 +22,12 @@ from tpu_ntt.transform import Plan
 SW_DIR = ("NTT_Software/NTT_Software_Evaluations/NTT-256")
 
 
-@pytest.fixture(scope="module")
-def c_oracle(reference_dir):
-    """Compile the reference NTT-RED and NTT libraries to one .so."""
+def build_c_oracle(reference_dir):
+    """Compile the reference NTT-RED and NTT libraries to one .so.
+
+    Shared with tests/test_tpu_parity.py (the on-device parity run uses the
+    same compiled oracle).  Calls pytest.skip when compilation is impossible.
+    """
     cc = shutil.which("cc") or shutil.which("gcc")
     if cc is None:
         pytest.skip("no C compiler")
@@ -43,8 +46,12 @@ def c_oracle(reference_dir):
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:
         pytest.skip(f"reference C does not compile here: {res.stderr[:400]}")
-    lib = ctypes.CDLL(str(out))
-    return lib
+    return ctypes.CDLL(str(out))
+
+
+@pytest.fixture(scope="module")
+def c_oracle(reference_dir):
+    return build_c_oracle(reference_dir)
 
 
 def _call_product(lib, name, a, b):

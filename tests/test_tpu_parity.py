@@ -1,0 +1,264 @@
+"""On-device parity suite — the real-hardware testbench discipline of the
+reference (NTT_PolyMul_test.v:165-226, NTTN_test.v:47-56 run golden vectors
+against the actual board; here the golden vectors, the compiled-C parity
+products, and kernel-vs-oracle equality run through the real, non-interpret
+Pallas kernels on the actual TPU chip).
+
+Run with::
+
+    TPU_NTT_TEST_TPU=1 python -m pytest tests/ -m tpu -q
+
+Skipped entirely in the default CPU session.  On success the module writes
+a per-round artifact (default ``PARITY_TPU_r02.json``, override with
+``TPU_NTT_PARITY_OUT``) recording every bit-exactness check and the device
+it ran on.
+"""
+
+import json
+import os
+import pathlib
+import time
+
+import numpy as np
+import pytest
+
+from tpu_ntt import ref
+from tpu_ntt.params import find_params, make_params, preset
+
+from conftest import read_hex_vectors
+from test_parity_c import build_c_oracle, _call_product
+
+pytestmark = pytest.mark.tpu
+
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+# ---------------------------------------------------------------------------
+# artifact plumbing
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def artifact():
+    import jax
+    entries = []
+    yield entries
+    if not entries:
+        return
+    dev = jax.devices()[0]
+    payload = {
+        "what": "on-device bit-exactness parity run (pytest -m tpu)",
+        "platform": dev.platform,
+        "device_kind": dev.device_kind,
+        "jax_version": jax.__version__,
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "checks": entries,
+    }
+    out = os.environ.get("TPU_NTT_PARITY_OUT", "PARITY_TPU_r02.json")
+    (_REPO / out).write_text(json.dumps(payload, indent=1))
+
+
+def _record(entries, check, **kv):
+    entries.append({"check": check, "bit_exact": True, **kv})
+
+
+def _sparse_poly(rng, n, q, nnz=6):
+    """Random polynomial with few nonzero terms (exact big-int oracle
+    tractable at any n)."""
+    a = np.zeros(n, dtype=np.int64)
+    idx = rng.choice(n, size=nnz, replace=False)
+    a[idx] = rng.integers(1, q, size=nnz)
+    return a
+
+
+def _sparse_negacyclic(a, b, q):
+    """Exact negacyclic product of sparse polynomials via python ints."""
+    n = len(a)
+    out = [0] * n
+    for i in np.flatnonzero(a):
+        ai = int(a[i])
+        for j in np.flatnonzero(b):
+            k = i + int(j)
+            t = ai * int(b[j])
+            if k >= n:
+                out[k - n] -= t
+            else:
+                out[k] += t
+    return np.array([v % q for v in out], dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# golden ModelSim vectors through the device (NTTN_test.v analog)
+# ---------------------------------------------------------------------------
+
+def test_golden_vectors_on_device(reference_dir, artifact):
+    import jax
+    from tpu_ntt.transform import Plan
+    base = reference_dir / "Hardware_Multiplier/simulation/modelsim/test"
+    din = read_hex_vectors(base / "NTT_DIN.txt")
+    dout = read_hex_vectors(base / "NTT_DOUT.txt")
+    idin = read_hex_vectors(base / "INTT_DIN.txt")
+    idout = read_hex_vectors(base / "INTT_DOUT.txt")
+    p = preset("hw256")
+    plan = Plan(p)
+    fwd = jax.jit(lambda x: plan.ntt(x, "gs", "std2rev"))
+    got = np.asarray(fwd(din[None].astype(np.int32)))[0]
+    np.testing.assert_array_equal(got, dout)
+    inv = jax.jit(lambda x: plan.ntt(x, "gs", "std2rev", inverse=True))
+    got_i = np.asarray(inv(idin[None].astype(np.int32)))[0]
+    got_i = got_i.astype(np.int64) * p.n_inv % p.q
+    np.testing.assert_array_equal(got_i, idout)
+    _record(artifact, "modelsim_golden_vectors", config="hw256", n=p.n,
+            q=p.q, vectors=["NTT_DIN->NTT_DOUT", "INTT_DIN->INTT_DOUT"])
+
+
+def test_rtl_testbench_product_on_device(artifact):
+    """(1+2x+3x^2)(2+2x) through the device GO-flow twin
+    (NTT_PolyMul_test.v:165-196)."""
+    import jax
+    from tpu_ntt.transform import Plan
+    p = preset("hw256")
+    plan = Plan(p)
+    a = np.zeros((1, p.n), np.int32)
+    b = np.zeros((1, p.n), np.int32)
+    a[0, :3] = [1, 2, 3]
+    b[0, :2] = [2, 2]
+    c = np.asarray(jax.jit(plan.hw_polymul)(a, b))[0]
+    want = np.zeros(p.n, np.int64)
+    want[:4] = [2, 6, 10, 6]
+    np.testing.assert_array_equal(c, want)
+    _record(artifact, "rtl_testbench_product", config="hw256", n=p.n, q=p.q)
+
+
+# ---------------------------------------------------------------------------
+# compiled-C parity through the real fused kernels
+# ---------------------------------------------------------------------------
+
+def test_c_parity_through_pallas(reference_dir, rng, artifact):
+    """ntt_red256_product1/4 bit-exact vs the real (non-interpret)
+    PallasPolymul kernel on the chip."""
+    from tpu_ntt.ops.butterfly import PallasPolymul
+    lib = build_c_oracle(reference_dir)
+    p = preset("sw256")
+    pk = PallasPolymul(p)
+    rows = 16
+    a = rng.integers(0, p.q, (rows, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (rows, p.n)).astype(np.int32)
+    got = np.asarray(pk.polymul(a, b))
+    for i in range(rows):
+        for cname in ("ntt_red256_product1", "ntt_red256_product4"):
+            want = _call_product(lib, cname, a[i], b[i])
+            np.testing.assert_array_equal(got[i], want)
+    _record(artifact, "compiled_c_parity_pallas", config="sw256", n=p.n,
+            q=p.q, rows=rows,
+            oracles=["ntt_red256_product1", "ntt_red256_product4"])
+
+
+# ---------------------------------------------------------------------------
+# kernel-vs-oracle equality per arithmetic flavor, on the real chip
+# ---------------------------------------------------------------------------
+
+FLAVOR_CASES = [
+    ("sw256", None, None),            # lazy Shoup, q < 2^14
+    ("hw256", None, None),            # lazy Shoup, second modulus
+    ("dilithium256", None, None),     # float-assisted Barrett, q < 2^23
+    (None, 256, 28),                  # digit-serial Montgomery, q < 2^29
+]
+
+
+@pytest.mark.parametrize("name,n,bits", FLAVOR_CASES)
+def test_pallas_kernel_on_device(rng, artifact, name, n, bits):
+    from tpu_ntt.ops.butterfly import PallasPolymul
+    from tpu_ntt.transform import Plan
+    p = preset(name) if name else find_params(n, bits)
+    pk = PallasPolymul(p)
+    plan = Plan(p)
+    rows = 16
+    a = rng.integers(0, p.q, (rows, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (rows, p.n)).astype(np.int32)
+    a[0] = p.q - 1                      # lazy-range extremes
+    b[0] = p.q - 1
+    got = np.asarray(pk.polymul(a, b))
+    for i in range(rows):
+        np.testing.assert_array_equal(
+            got[i], ref.schoolbook_negacyclic(a[i], b[i], p.q))
+    # standalone transforms: kernel == XLA Plan, both on the device
+    f_kernel = np.asarray(pk.forward(a))
+    f_plan = np.asarray(plan.forward_jit(a))
+    np.testing.assert_array_equal(f_kernel, f_plan)
+    np.testing.assert_array_equal(np.asarray(pk.inverse(f_kernel)),
+                                  np.asarray(plan.inverse_jit(f_plan)))
+    _record(artifact, "pallas_kernel_vs_oracle",
+            config=name or f"mont{bits}", n=p.n, q=int(p.q), rows=rows,
+            flavor=pk.flavor, layout="cm" if pk.cm else "rows")
+
+
+def test_incomplete_kyber_on_device(rng, artifact):
+    from tpu_ntt.ops.butterfly import PallasIncompletePolymul
+    n, q = 256, 3329
+    pk = PallasIncompletePolymul(n, q)
+    rows = 16
+    a = rng.integers(0, q, (rows, n)).astype(np.int32)
+    b = rng.integers(0, q, (rows, n)).astype(np.int32)
+    got = np.asarray(pk.polymul(a, b))
+    for i in range(rows):
+        np.testing.assert_array_equal(
+            got[i], ref.schoolbook_negacyclic(a[i], b[i], q))
+    # module product A_hat · s_hat (the ML-KEM matvec fast path)
+    k = 3
+    A = rng.integers(0, q, (2, k, k, n)).astype(np.int32)
+    s = rng.integers(0, q, (2, k, n)).astype(np.int32)
+    mv = np.asarray(pk.matvec(A, s))
+    for r in range(2):
+        for i in range(k):
+            want = np.zeros(n, dtype=np.int64)
+            for j in range(k):
+                want = (want + ref.schoolbook_negacyclic(
+                    A[r, i, j], s[r, j], q)) % q
+            np.testing.assert_array_equal(mv[r, i].astype(np.int64), want)
+    _record(artifact, "incomplete_kernel_vs_oracle", config="kyber", n=n,
+            q=q, rows=rows, matvec_k=k)
+
+
+def test_fourstep_large_on_device(rng, artifact):
+    """n=2^16 fused four-step kernel vs the exact sparse oracle — the
+    large-ring datapath (NTTN.v:25-27 scales to 2^15; here 2^16)."""
+    from tpu_ntt.ops.fourstep import PallasFourStep, supported
+    p = find_params(1 << 16, 28)
+    assert supported(p)
+    fs = PallasFourStep(p)
+    rows = 4
+    a = np.stack([_sparse_poly(rng, p.n, p.q) for _ in range(rows)])
+    b = np.stack([_sparse_poly(rng, p.n, p.q) for _ in range(rows)])
+    got = np.asarray(fs.polymul(a.astype(np.int32), b.astype(np.int32)))
+    for i in range(rows):
+        want = _sparse_negacyclic(a[i], b[i], p.q)
+        np.testing.assert_array_equal(got[i].astype(np.uint64), want)
+    _record(artifact, "fourstep_kernel_vs_sparse_oracle", config="large",
+            n=p.n, q=int(p.q), rows=rows)
+
+
+def test_bigq62_on_device(rng, artifact):
+    """62-bit modulus RNS pipeline (device split -> fused channel kernels
+    -> device Garner CRT) vs the exact sparse oracle."""
+    from tpu_ntt.bigq import BigQPlan
+    p = find_params(4096, 62)
+    plan = BigQPlan(p)
+    rows = 4
+    a = np.stack([_sparse_poly(rng, p.n, p.q) for _ in range(rows)])
+    b = np.stack([_sparse_poly(rng, p.n, p.q) for _ in range(rows)])
+    got = plan.polymul(a.astype(np.uint64), b.astype(np.uint64))
+    for i in range(rows):
+        want = _sparse_negacyclic(a[i], b[i], p.q)
+        np.testing.assert_array_equal(got[i], want)
+    _record(artifact, "bigq62_vs_sparse_oracle", config="bigq62", n=p.n,
+            q=int(p.q), rows=rows, channels=len(plan.primes))
+
+
+def test_engine_selftest_on_device(artifact):
+    """The progressive bring-up ladder (v3/v4 loopback analog) passes on
+    the real chip with the auto (Pallas) backend."""
+    from tpu_ntt.runtime.engine import PolyMultEngine
+    eng = PolyMultEngine(256, 12289)
+    rep = eng.self_test()
+    assert rep.ok, str(rep)
+    _record(artifact, "engine_selftest", config="sw256", backend=eng.kind)
