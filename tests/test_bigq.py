@@ -203,3 +203,66 @@ def test_bigq_pallas_backend_routes_large_n_to_fourstep():
     plan = BigQPlan(p, backend="pallas")
     assert isinstance(plan.stacked, FourStepChannelPlan)
     assert plan.dcrt is not None and plan.channel_plans == []
+
+
+def test_fused_bigq_kernel_bit_exact(rng):
+    """The fully-fused PallasBigQ kernel (split + channels + Garner CRT in
+    one kernel) is bit-exact vs the schoolbook oracle, including padding
+    (batch not a multiple of the tile)."""
+    from tpu_ntt.ops.bigq_kernel import PallasBigQ, supported
+
+    p = find_params(256, 40)
+    primes = select_rns_primes(256, 1 + p.log2n + 2 * 40 + 1)
+    assert supported(256, primes, p.q)
+    kb = PallasBigQ(256, primes, p.q, tile=8, interpret=True)
+    a = rng.integers(0, p.q, (3, 256)).astype(np.uint64)
+    b = rng.integers(0, p.q, (3, 256)).astype(np.uint64)
+    c = kb.polymul(a, b)
+    for i in range(3):
+        want = ref.schoolbook_negacyclic(a[i].astype(object),
+                                         b[i].astype(object), p.q)
+        np.testing.assert_array_equal(c[i].astype(object),
+                                      want.astype(object))
+
+
+def test_fused_bigq_kernel_62bit_matches_plan(rng):
+    """Full 62-bit modulus class through the fused kernel matches the
+    (independently tested) unfused BigQPlan pipeline."""
+    from tpu_ntt.ops.bigq_kernel import PallasBigQ, supported
+
+    p = find_params(512, 62)
+    plan = BigQPlan(p, backend="xla")        # oracle pipeline
+    assert supported(512, plan.primes, p.q)
+    kb = PallasBigQ(512, plan.primes, p.q, tile=8, interpret=True)
+    a = rng.integers(0, p.q, (2, 512)).astype(np.uint64)
+    b = rng.integers(0, p.q, (2, 512)).astype(np.uint64)
+    np.testing.assert_array_equal(kb.polymul(a, b), plan.polymul(a, b))
+
+
+def test_fused_bigq_kernel_adversarial_extremes():
+    """Coefficients at the domain extremes (0 and q-1 everywhere) stress
+    the Garner sign compare and the shift-subtract ladder."""
+    from tpu_ntt.ops.bigq_kernel import PallasBigQ
+
+    p = find_params(256, 61)
+    primes = select_rns_primes(256, 1 + p.log2n + 2 * 61 + 1)
+    kb = PallasBigQ(256, primes, p.q, tile=8, interpret=True)
+    a = np.full((1, 256), p.q - 1, dtype=np.uint64)
+    b = np.full((1, 256), p.q - 1, dtype=np.uint64)
+    c = kb.polymul(a, b)
+    want = ref.schoolbook_negacyclic(a[0].astype(object),
+                                     b[0].astype(object), p.q)
+    np.testing.assert_array_equal(c[0].astype(object), want.astype(object))
+    z = np.zeros((1, 256), dtype=np.uint64)
+    np.testing.assert_array_equal(kb.polymul(a, z), z)
+
+
+def test_bigq_plan_prefers_fused_kernel_when_supported(monkeypatch):
+    """backend='pallas' wires the fused kernel for supported shapes."""
+    p = find_params(256, 45)
+    plan = BigQPlan(p, backend="pallas")
+    assert plan.fused_kernel is not None
+    # large n is out of the fused kernel's envelope -> four-step channels
+    p2 = find_params(1 << 14, 45)
+    plan2 = BigQPlan(p2, backend="pallas")
+    assert plan2.fused_kernel is None

@@ -368,12 +368,19 @@ class BigQPlan:
             mesh = make_mesh(1)
         self.mesh = mesh
         self.stacked = None
+        self.fused_kernel = None
         if mesh is None:
             # all channels in one jitted graph: one transfer each way,
             # one compile, instead of k sequential plans.  On TPU the
             # channels run as fused Pallas kernels; the jnp fallback covers
             # CPU (and remains the cross-check in tests).
             if backend == "pallas":
+                from .ops import bigq_kernel
+                if bigq_kernel.supported(n, self.primes, q):
+                    # the whole product (split + channels + Garner CRT)
+                    # in ONE Pallas kernel: 6 HBM plane-touches total
+                    self.fused_kernel = bigq_kernel.PallasBigQ(
+                        n, self.primes, q)
                 self.stacked = (FourStepChannelPlan(n, self.primes)
                                 if n > 8192
                                 else PallasChannelPlan(n, self.primes))
@@ -486,6 +493,8 @@ class BigQPlan:
         check_domain(b, self.params.q, "bigq polymul b")
         a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
         b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
+        if self.fused_kernel is not None:
+            return self.fused_kernel.polymul(a, b).reshape(a.shape)
         if self.dcrt is not None:
             from .ops.limb import pack_u64_planes, unpack_u64_planes
             if self.stacked is not None:

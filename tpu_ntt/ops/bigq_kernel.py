@@ -1,0 +1,392 @@
+"""Fully-fused big-q polymul Pallas kernel: split + all RNS channels +
+Garner CRT in ONE VMEM pass.
+
+The reference widens every datapath wire to reach K=64-bit coefficients
+(defines.v:42) and streams packed words over its PCIe FIFOs.  The TPU
+build's big-q path (bigq.py) is RNS channels + Garner CRT; round 1 ran
+the channel transforms as fused Pallas kernels but left the RNS split and
+the Garner reconstruction as long XLA elementwise chains — measured ~84%
+of big-q wall time (VERDICT.md weak #3).
+
+This kernel erases that overhead structurally: one pallas_call takes the
+packed (lo31, hi31) int32 coefficient planes of a and b, and inside a
+single VMEM block
+
+  1. splits each coefficient into 16-bit chunks and reduces them into
+     every channel's residue (per-channel Montgomery constant multiplies
+     with compile-time constants — the in-kernel twin of
+     bigq.DeviceCRT.split);
+  2. runs each channel's negacyclic polymul in packed two-plane
+     constant-geometry form (identical arithmetic and geometry to
+     butterfly._make_kernel_packed_mont — channels are a compile-time
+     Python loop, so every modulus constant folds);
+  3. reconstructs mod q with the signed Garner CRT (mixed-radix digits,
+     lexicographic half-compare, 15-bit limb accumulation and the
+     conditional shift-subtract ladder — the in-kernel twin of
+     bigq.DeviceCRT.reconstruct + ops/limb.LimbArith);
+  4. writes the packed (lo31, hi31) planes of the canonical result.
+
+HBM traffic per product: 4 input planes + 2 output planes — against the
+round-1 pipeline's  4 + 2·k (split writes) + 4·k (kernel I/O) + k (CRT
+reads) planes for k channels.
+
+Exactness requirements are inherited unchanged from the pieces it fuses:
+channel primes odd, 2^16 < p < 2^29, p ≡ 1 (mod 2n); Π p > 2·n·(q-1)².
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import make_params
+from .butterfly import _packed_stage_tables
+
+__all__ = ["PallasBigQ", "supported"]
+
+_B = 15
+_M15 = (1 << _B) - 1
+
+
+def _to_limbs(c: int, nl: int) -> list[int]:
+    out = []
+    for _ in range(nl):
+        out.append(c & _M15)
+        c >>= _B
+    assert c == 0
+    return out
+
+
+def supported(n: int, primes, q: int, tile: int | None = None) -> bool:
+    """Flat packed channel geometry (n/2 slots on lanes) + VMEM budget."""
+    if not all((1 << 16) < p < (1 << 29) and p % 2 == 1 for p in primes):
+        return False
+    if n < 256 or n > 8192:
+        return False
+    tile = tile if tile is not None else _default_tile(n)
+    # live planes: 4 in + 2 out + 2·k channel spectra + ~8 working; the
+    # 2.6 factor is Mosaic's measured scoped-stack overhead over this
+    # estimate (16.2M actual vs 6.3M estimated at tile=32, n=4096, k=5)
+    live = 14 + 2 * len(primes)
+    return tile * (n // 2) * 4 * live * 2.6 < 15.5 * 2**20
+
+
+def _default_tile(n: int) -> int:
+    return max(8, min(32, (1 << 16) // n))
+
+
+class _ChannelConsts:
+    """Compile-time Montgomery constants for one channel prime."""
+
+    def __init__(self, p: int):
+        self.q32 = np.int32(p)
+        self.q0 = np.int32(p & _M15)
+        self.q1 = np.int32(p >> _B)
+        self.qp = np.int32((-pow(p, -1, 1 << _B)) % (1 << _B))
+        R = 1 << 30
+        # split constants: 2^e·R mod p so one REDC lands the plain residue
+        self.t16 = np.int32(pow(2, 16, p) * R % p)
+        self.t31 = np.int32(pow(2, 31, p) * R % p)
+        self.t47 = np.int32(pow(2, 47, p) * R % p)
+
+
+def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
+    """Kernel factory.  Channels unrolled: every modulus constant is a
+    compile-time scalar.  Data layout: rows — (tile, n) coefficient
+    blocks, channel planes (tile, n/2) with slots on lanes (the measured
+    winner for Montgomery arithmetic, see PallasPolymul docstring)."""
+    k = len(primes)
+    h = n // 2
+    log2n = n.bit_length() - 1
+    m15 = np.int32(_M15)
+    shape = (tile, h)
+    cc = [_ChannelConsts(p) for p in primes]
+    plist = [make_params(n, p) for p in primes]
+
+    # Garner compile-time constants: C_i = prod_{l<i} p_l
+    C = [1]
+    for p in primes[:-1]:
+        C.append(C[-1] * p)
+    c_mod_p = [[np.int32(C[i] % primes[j] * (1 << 30) % primes[j])
+                for i in range(j)] for j in range(k)]
+    invC = [np.int32(pow(C[j] % primes[j], -1, primes[j])
+                     * (1 << 30) % primes[j]) for j in range(k)]
+    M = 1
+    for p in primes:
+        M *= p
+    half = (M - 1) // 2
+    half_digits = []
+    for p in primes:
+        half_digits.append(np.int32(half % p))
+        half //= p
+    negM = (-M) % q
+
+    # limb plan for the recombine: S = sum v_j·(C_j mod q) + ind·(-M mod q)
+    Lq = -(-q.bit_length() // _B)
+    n_terms = 2 * k + 1
+    acc_limbs = Lq + 2
+    ub = n_terms * (1 << _B) * (q - 1)
+    assert ub < 1 << (_B * acc_limbs)
+    J = max(0, (ub // q).bit_length())
+    red_width = max(acc_limbs, -(-(q.bit_length() + J) // _B))
+    sub_tabs = [_to_limbs(q << j, red_width) for j in range(J + 1)]
+
+    # ---- per-channel Montgomery ops (constants close over channel i) ----
+
+    def csub(x, m):
+        r = x - m
+        return r + ((r >> 31) & m)
+
+    def redc(i, H, Mid, L0):
+        c = cc[i]
+        u0 = ((L0 & m15) * c.qp) & m15
+        t1 = (L0 + u0 * c.q0) >> _B
+        A1 = Mid + u0 * c.q1 + t1
+        a1h, a1l = A1 >> _B, A1 & m15
+        u1 = (a1l * c.qp) & m15
+        t2 = (a1l + u1 * c.q0) >> _B
+        return csub(csub(H + a1h + u1 * c.q1 + t2, cc[i].q32), cc[i].q32)
+
+    def mul(i, x, y):
+        x1, x0 = x >> _B, x & m15
+        y1, y0 = y >> _B, y & m15
+        return redc(i, x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
+
+    def mul_c(i, x, c32):
+        """x (< 2^16 ok, any canonical) times Montgomery-form constant."""
+        return mul(i, x, jnp.full((), c32, jnp.int32))
+
+    def addm(i, x, y):
+        return csub(x + y, cc[i].q32)
+
+    def subm(i, x, y):
+        r = x - y
+        return r + ((r >> 31) & cc[i].q32)
+
+    # ---- packed two-plane channel NTT (geometry of _make_kernel_packed) --
+
+    def block_mask(bsz):
+        i2 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        return ((i2 // bsz) & 1) == 0
+
+    def repack(A, B, bsz):
+        mask = block_mask(bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, 1))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, 1), B)
+        return A2, B2
+
+    def fwd(i, A, B, twf):
+        for s in range(log2n):
+            m = mul(i, B, twf[s][None, :])
+            A, B = addm(i, A, m), subm(i, A, m)
+            if s < log2n - 1:
+                A, B = repack(A, B, n >> (s + 2))
+        return A, B
+
+    def inv(i, A, B, twi):
+        for s in range(log2n):
+            m = mul(i, subm(i, A, B), twi[s][None, :])
+            A, B = addm(i, A, B), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s)
+        return A, B
+
+    finals = [np.int32(p.n_inv * (1 << 30) % p.q * (1 << 30) % p.q)
+              for p in plist]
+
+    # ---- the kernel ------------------------------------------------------
+
+    def kernel(lo_a_ref, hi_a_ref, lo_b_ref, hi_b_ref,
+               twf_ref, twi_ref, lo_out_ref, hi_out_ref):
+        twf, twi = twf_ref[...], twi_ref[...]
+
+        def chunks(lo, hi):
+            c0 = lo & jnp.int32(0xFFFF)
+            c1 = (lo >> 16) & jnp.int32(0x7FFF)
+            c2 = hi & jnp.int32(0xFFFF)
+            c3 = (hi >> 16) & jnp.int32(0x7FFF)
+            return c0, c1, c2, c3
+
+        def residue(i, c0, c1, c2, c3):
+            c = cc[i]
+            r = addm(i, mul_c(i, c3, c.t47), mul_c(i, c2, c.t31))
+            r = addm(i, r, mul_c(i, c1, c.t16))
+            # c0 < 2^16 may exceed p only for tiny p; primes > 2^16 so one
+            # csub suffices
+            return addm(i, r, csub(c0, c.q32))
+
+        ca = chunks(lo_a_ref[...], hi_a_ref[...])
+        cb = chunks(lo_b_ref[...], hi_b_ref[...])
+
+        # channel products, canonical [0, p_i), packed planes (A=even
+        # slots, B=odd slots of the natural coefficient order)
+        prods = []
+        for i in range(k):
+            ra, rb = residue(i, *ca), residue(i, *cb)
+            fa = fwd(i, ra[:, :h], ra[:, h:], twf[i])
+            fb = fwd(i, rb[:, :h], rb[:, h:], twf[i])
+            A, B = inv(i, mul(i, fa[0], fb[0]), mul(i, fa[1], fb[1]),
+                       twi[i])
+            prods.append((mul_c(i, A, finals[i]), mul_c(i, B, finals[i])))
+
+        def garner(prods_plane):
+            # mixed-radix digits v_j (canonical per channel)
+            v = []
+            for j in range(k):
+                t = prods_plane[j]
+                acc = None
+                for i in range(j):
+                    term = mul_c(j, v[i], c_mod_p[j][i])
+                    acc = term if acc is None else addm(j, acc, term)
+                if acc is not None:
+                    t = subm(j, t, acc)
+                v.append(mul_c(j, t, invC[j]))
+
+            # negative iff X > (M-1)/2
+            gt = jnp.zeros(v[0].shape, jnp.bool_)
+            eq = jnp.ones(v[0].shape, jnp.bool_)
+            for j in reversed(range(k)):
+                d = half_digits[j]
+                gt = gt | (eq & (v[j] > d))
+                eq = eq & (v[j] == d)
+            ind = gt.astype(jnp.int32)
+
+            # limb accumulate: S = sum v_j·(C_j mod q) + ind·(-M mod q)
+            s = [jnp.zeros(v[0].shape, jnp.int32) for _ in range(acc_limbs)]
+            car = [jnp.zeros(v[0].shape, jnp.int32)
+                   for _ in range(acc_limbs)]
+
+            def acc_mul(v15, c):
+                for j, cl in enumerate(_to_limbs(c % q, acc_limbs)):
+                    if cl == 0:
+                        continue
+                    pr = v15 * jnp.int32(cl)
+                    s[j] = s[j] + (pr & m15)
+                    if j + 1 < acc_limbs:
+                        car[j + 1] = car[j + 1] + (pr >> _B)
+
+            for j in range(k):
+                cj = C[j] % q
+                acc_mul(v[j] & m15, cj)
+                acc_mul(v[j] >> _B, (cj << _B) % q)
+            acc_mul(ind, negM)
+
+            planes = [a + b for a, b in zip(s, car)]
+            for j in range(len(planes) - 1):
+                c = planes[j] >> _B
+                planes[j] = planes[j] & m15
+                planes[j + 1] = planes[j + 1] + c
+            planes = planes + [jnp.zeros_like(planes[0])
+                               for _ in range(red_width - len(planes))]
+            for j in range(J, -1, -1):
+                tab = sub_tabs[j]
+                diff = []
+                borrow = jnp.zeros_like(planes[0])
+                for l in range(red_width):
+                    d = planes[l] - jnp.int32(tab[l]) - borrow
+                    borrow = (d >> 31) & 1
+                    diff.append(d + (borrow << _B))
+                keep = borrow == 0
+                planes = [jnp.where(keep, d, p2)
+                          for d, p2 in zip(diff, planes)]
+            limbs = planes[:Lq] + [jnp.zeros_like(planes[0])
+                                   for _ in range(5 - Lq)]
+            l0, l1, l2, l3, l4 = limbs[:5]
+            lo = l0 | (l1 << _B) | ((l2 & 1) << 30)
+            hi = (l2 >> 1) | (l3 << 14) | (l4 << 29)
+            return lo, hi
+
+        loA, hiA = garner([pA for pA, _ in prods])
+        loB, hiB = garner([pB for _, pB in prods])
+        lo_out_ref[...] = jnp.concatenate([loA, loB], axis=1)
+        hi_out_ref[...] = jnp.concatenate([hiA, hiB], axis=1)
+
+    return kernel
+
+
+class PallasBigQ:
+    """Plan-level wrapper: whole big-q negacyclic polymul in one kernel.
+
+    API: ``polymul_planes(lo_a, hi_a, lo_b, hi_b) -> (lo_c, hi_c)`` on
+    (batch, n) int32 packed planes (ops/limb.pack_u64_planes), jittable
+    and chainable device-side; ``polymul(a, b)`` wraps uint64 host arrays.
+    """
+
+    def __init__(self, n: int, primes: list[int], q: int,
+                 tile: int | None = None, interpret: bool = False):
+        self.n = n
+        self.primes = [int(p) for p in primes]
+        self.q = int(q)
+        self.tile = tile if tile is not None else _default_tile(n)
+        if not supported(n, self.primes, self.q, self.tile):
+            raise ValueError(
+                f"PallasBigQ unsupported: n={n}, primes={self.primes}")
+        self.interpret = interpret
+        plist = [make_params(n, p) for p in self.primes]
+        twf, twi = [], []
+        for p in plist:
+            f, _ = _packed_stage_tables(p, inverse=False, flavor="mont")
+            i_, _ = _packed_stage_tables(p, inverse=True, flavor="mont")
+            twf.append(f)
+            twi.append(i_)
+        self._twf = np.stack(twf)            # (k, log2n, n/2)
+        self._twi = np.stack(twi)
+
+    @functools.cached_property
+    def _call(self):
+        n, tile = self.n, self.tile
+        kernel = _make_bigq_kernel(n, self.primes, self.q, tile)
+        data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        tw_spec = pl.BlockSpec(self._twf.shape, lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+
+        def run(lo_a, hi_a, lo_b, hi_b, twf, twi):
+            grid = (lo_a.shape[0] // tile,)
+            k = len(self.primes)
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[data_spec] * 4 + [tw_spec] * 2,
+                out_specs=[data_spec] * 2,
+                out_shape=[jax.ShapeDtypeStruct(lo_a.shape, jnp.int32)] * 2,
+                cost_estimate=pl.CostEstimate(
+                    flops=3 * k * lo_a.shape[0] * (n // 2)
+                    * (n.bit_length() - 1) * 10,
+                    bytes_accessed=6 * lo_a.size * 4,
+                    transcendentals=0),
+                interpret=self.interpret,
+            )(lo_a, hi_a, lo_b, hi_b, twf, twi)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def polymul_planes(self):
+        n, tile = self.n, self.tile
+        twf = jnp.asarray(self._twf)
+        twi = jnp.asarray(self._twi)
+
+        def full(lo_a, hi_a, lo_b, hi_b):
+            batch = lo_a.shape[0]
+            pad = (-batch) % tile
+            args = [lo_a, hi_a, lo_b, hi_b]
+            if pad:
+                args = [jnp.pad(x, ((0, pad), (0, 0))) for x in args]
+            lo, hi = self._call(*args, twf, twi)
+            return lo[:batch], hi[:batch]
+
+        return jax.jit(full)
+
+    def polymul(self, a, b) -> np.ndarray:
+        """(batch, n) uint64 arrays -> negacyclic product mod q."""
+        from .limb import pack_u64_planes, unpack_u64_planes
+        a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
+        b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
+        lo, hi = self.polymul_planes(*pack_u64_planes(a),
+                                     *pack_u64_planes(b))
+        return unpack_u64_planes(np.asarray(lo), np.asarray(hi))
