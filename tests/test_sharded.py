@@ -1,6 +1,7 @@
 """Mesh-sharded four-step transform tests on the 8-virtual-device CPU mesh —
 test pyramid layer (e) of SURVEY.md §4 (the loopback-before-pod analog)."""
 
+import os
 import jax
 import numpy as np
 import pytest
@@ -138,3 +139,44 @@ def test_dp_polymul_plan_and_pallas(rng):
     for plan in (Plan(p), PallasPolymul(p, tile=2, interpret=True)):
         f = dp_polymul(plan, mesh)
         np.testing.assert_array_equal(np.asarray(f(a, b)), want)
+
+
+def test_multihost_initialize_and_global_mesh():
+    """Exercise the jax.distributed DCN init path end-to-end (1-process
+    coordinator on localhost) and run a sharded product on the resulting
+    global mesh — the single-machine twin of a pod bring-up
+    (NTT_PCIECommunicationv2.c's open-then-selftest discipline)."""
+    import subprocess
+    import sys
+
+    code = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tpu_ntt.parallel import multihost
+from tpu_ntt.parallel.sharded import ShardedPlan
+from tpu_ntt.params import find_params
+from tpu_ntt import ref
+
+multihost.initialize(coordinator="localhost:12799", num_processes=1,
+                     process_id=0)
+assert jax.process_count() == 1
+mesh = multihost.global_mesh(axes=("dp", "sp"), dp=1)
+assert mesh.shape == {"dp": 1, "sp": 4}
+p = find_params(1 << 12, 28)
+sp = ShardedPlan(p, mesh, axis="sp")
+rng = np.random.default_rng(0)
+a = rng.integers(0, p.q, (1, p.n))
+b = rng.integers(0, p.q, (1, p.n))
+c = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a), sp.shard_coeffs(b)))
+want = ref.schoolbook_negacyclic(a[0].astype(object), b[0].astype(object),
+                                 p.q)
+assert np.array_equal(c[0].astype(object), want.astype(object)), "MISMATCH"
+print("MULTIHOST-OK")
+"""
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300, env=env)
+    assert "MULTIHOST-OK" in r.stdout, r.stdout + r.stderr
