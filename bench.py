@@ -283,18 +283,32 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 # packed planes in/out (6) + split writes / kernel
                 # reads+writes / CRT reads of the k residue planes (6k)
                 traffic = inner * batch * n * 4 * (6 + 6 * k)
-    elif config == "large":                  # single-chip n=2^16 transform
+    elif config in ("large", "large23", "xlarge"):
+        # single-chip large-n transforms: "large" = n=2^16 28-bit
+        # (Montgomery flavor, round-1-comparable), "large23" = n=2^16
+        # 23-bit (f32-Barrett flavor — measured ~1.6x the Montgomery
+        # chain at this shape), "xlarge" = n=2^20 (blocked four-step)
         from tpu_ntt.ops import fourstep
-        p = find_params(1 << 16, 28)
+        from tpu_ntt.params import make_params
+        p = {"large": lambda: find_params(1 << 16, 28),
+             "large23": lambda: make_params(1 << 16, 7340033),
+             "xlarge": lambda: find_params(1 << 20, 28)}[config]()
         n, q = p.n, p.q
         on_tpu = jax.devices()[0].platform != "cpu"
-        if backend in ("auto", "pallas") and on_tpu and fourstep.supported(p):
+        if backend in ("auto", "pallas") and on_tpu and (
+                fourstep.supported(p) or fourstep.blocked_supported(p)):
             # fused four-step Pallas kernel: the whole product in one VMEM
-            # pass (3 HBM touches) vs ~35 stage round-trips on the XLA path
-            plan = fourstep.PallasFourStep(p)
+            # pass (3 HBM touches) vs ~35 stage round-trips on the XLA
+            # path; past the one-block envelope (xlarge), three gridded
+            # kernels over (n1, n2) slabs (9 HBM plane-passes)
+            if fourstep.supported(p):
+                plan = fourstep.PallasFourStep(p)
+                backend = "fourstep-pallas"
+            else:
+                plan = fourstep.PallasFourStepBlocked(p)
+                backend = "fourstep-blocked-pallas"
             from tpu_ntt.ops.butterfly import _flavor
             flavor = _flavor(p.q)
-            backend = "fourstep-pallas"
             a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
             b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
             fn_c = _chain(plan.polymul, inner)
@@ -365,7 +379,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     elif "check_fn" in locals():
         out = _sync(check_fn())
     if out is not None:
-        if config == "large" and hasattr(plan, "unshard"):
+        if config in ("large", "large23", "xlarge") and hasattr(plan, "unshard"):
             out = plan.unshard(out)
             a = plan.unshard(a)
             b = plan.unshard(b)
@@ -398,7 +412,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
 # (config, batch, inner): inner tuned so compile stays tractable while the
 # ~25 ms dispatch round-trip is amortised
-SWEEP = [("dilithium256", 8192, 256), ("large", 16, 128), ("bigq62", 64, 8),
+SWEEP = [("dilithium256", 8192, 256), ("large", 16, 256),
+         ("large23", 16, 256), ("xlarge", 4, 64), ("bigq62", 64, 32),
          ("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
          ("kyber_matvec", 2048, 64)]
 
@@ -436,6 +451,7 @@ def bench_backends(iters, warmup):
 _BACKEND_LABEL = {
     "pallas": "fused Pallas, packed two-plane",
     "fourstep-pallas": "fused four-step Pallas (single VMEM pass)",
+    "fourstep-blocked-pallas": "blocked four-step Pallas (3 gridded kernels)",
     "bigq-fused-pallas": "ONE Pallas kernel: RNS split + channels + CRT",
     "xla": "XLA stage-by-stage plan",
     "mxu": "MXU matmul-NTT",

@@ -90,3 +90,39 @@ def test_fourstep_f32_bit_exact(rng):
     b[1] = q - 1
     np.testing.assert_array_equal(np.asarray(fs.polymul(a, b)),
                                   np.asarray(Plan(p).polymul_jit(a, b)))
+
+
+def test_blocked_fourstep_sparse_exact(rng):
+    """PallasFourStepBlocked (n=2^17, interpret): sparse operands give an
+    exact hand-computable negacyclic oracle; also cross-check a dense
+    random row against the independently-tested XLA ShardedPlan."""
+    from tpu_ntt.ops.fourstep import PallasFourStepBlocked, blocked_supported
+    from tpu_ntt.params import find_params
+
+    n = 1 << 17
+    p = find_params(n, 28)
+    assert blocked_supported(p)
+    plan = PallasFourStepBlocked(p, interpret=True)
+
+    # sparse: a = 3 + 5·x^(n-1), b = 7 + 2·x^2
+    a = np.zeros((1, n), np.int64)
+    b = np.zeros((1, n), np.int64)
+    a[0, 0], a[0, n - 1] = 3, 5
+    b[0, 0], b[0, 2] = 7, 2
+    want = np.zeros(n, np.int64)
+    want[0] = 3 * 7
+    want[2] = 3 * 2
+    want[n - 1] = 5 * 7
+    want[1] = (-5 * 2) % p.q                 # x^(n+1) wraps to -x^1
+    out = np.asarray(plan.polymul(a, b))[0]
+    np.testing.assert_array_equal(out, want % p.q)
+
+    # dense cross-check vs the XLA four-step (one row)
+    from tpu_ntt.parallel.sharded import ShardedPlan, make_mesh
+    sp = ShardedPlan(p, make_mesh(1))
+    ad = rng.integers(0, p.q, (1, n))
+    bd = rng.integers(0, p.q, (1, n))
+    got = np.asarray(plan.polymul(ad, bd))
+    ref_out = sp.unshard(sp.polymul_jit(sp.shard_coeffs(ad),
+                                        sp.shard_coeffs(bd)))
+    np.testing.assert_array_equal(got, np.asarray(ref_out))

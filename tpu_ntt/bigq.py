@@ -202,17 +202,24 @@ class FourStepChannelPlan:
     """
 
     def __init__(self, n: int, primes: list[int], interpret: bool = False):
-        from .ops.fourstep import PallasFourStep
+        from .ops.fourstep import (PallasFourStep, PallasFourStepBlocked,
+                                   supported as fs_supported)
         self.n = n
         self.primes = [int(p) for p in primes]
-        self.kernels = [PallasFourStep(make_params(n, p),
-                                       interpret=interpret)
-                        for p in self.primes]
+        self.kernels = []
+        for p in self.primes:
+            pp = make_params(n, p)
+            self.kernels.append(
+                PallasFourStep(pp, interpret=interpret) if fs_supported(pp)
+                else PallasFourStepBlocked(pp, interpret=interpret))
 
     @classmethod
     def supported(cls, n: int, primes) -> bool:
+        from .ops.fourstep import blocked_supported
         from .ops.fourstep import supported as fs_supported
-        return all(fs_supported(make_params(n, int(p))) for p in primes)
+        return all(fs_supported(make_params(n, int(p)))
+                   or blocked_supported(make_params(n, int(p)))
+                   for p in primes)
 
     def _polymul(self, ra, rb):
         return jnp.stack([k.polymul(ra[i], rb[i])

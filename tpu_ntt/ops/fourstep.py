@@ -71,14 +71,12 @@ def supported(params: NTTParams, n1: int | None = None) -> bool:
             and params.n == n1 * n2)
 
 
-def _make_fourstep_kernel(p1: NTTParams, p2: NTTParams, q: int, tile: int):
-    """Kernel factory. p1: negacyclic column sub-ring (psi^n2 merged);
-    p2: cyclic row sub-ring (omega^n1). Arithmetic flavor per q (the same
-    three classes as ops/butterfly's flat kernels): lazy Shoup (q < 2^14),
-    float-assisted Barrett (q < 2^23), digit-serial Montgomery (< 2^29)."""
-    n1, n2 = p1.n, p2.n
-    h1, h2 = n1 // 2, n2 // 2
-    l1, l2 = p1.log2n, p2.log2n
+def _flavor_ops(q: int) -> dict:
+    """Per-modulus-class arithmetic closures shared by the fused and the
+    blocked four-step kernels: lazy Shoup (q < 2^14), float-assisted
+    Barrett (q < 2^23), digit-serial Montgomery (< 2^29).  Returns
+    cmul (x · table constant), dmul (data x data), badd/bsub (CT
+    butterfly add/sub), gsub (GS subtract), csubq, and the flavor name."""
     flavor = _flavor(q)
     mont = flavor == "mont"
     q32 = np.int32(q)
@@ -162,6 +160,24 @@ def _make_fourstep_kernel(p1: NTTParams, p2: NTTParams, q: int, tile: int):
         badd = lambda A, m: csub2q(A + m)
         bsub = lambda A, m: csub2q(A - m + two_q)
         gsub = lambda A, B: csub2q(A - B + two_q)
+
+    return {"flavor": flavor, "mont": mont, "cmul": cmul, "dmul": dmul,
+            "badd": badd, "bsub": bsub, "gsub": gsub, "csubq": csubq,
+            "csub2q": csub2q}
+
+
+def _make_fourstep_kernel(p1: NTTParams, p2: NTTParams, q: int, tile: int):
+    """Kernel factory. p1: negacyclic column sub-ring (psi^n2 merged);
+    p2: cyclic row sub-ring (omega^n1). Arithmetic flavor per q, see
+    :func:`_flavor_ops`."""
+    n1, n2 = p1.n, p2.n
+    h1, h2 = n1 // 2, n2 // 2
+    l1, l2 = p1.log2n, p2.log2n
+    ops = _flavor_ops(q)
+    mont = ops["mont"]
+    cmul, dmul = ops["cmul"], ops["dmul"]
+    badd, bsub, gsub = ops["badd"], ops["bsub"], ops["gsub"]
+    csubq, csub2q = ops["csubq"], ops["csub2q"]
 
     def block_mask(shape, axis, bsz):
         i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
@@ -388,6 +404,253 @@ class PallasFourStep:
                 a = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
                 b = jnp.pad(b, ((0, pad), (0, 0), (0, 0)))
             out = self._call(a, b)
+            return out[:batch].reshape(*lead, n)
+
+        return jax.jit(full)
+
+    def polymul(self, a, b):
+        """Negacyclic (psi set) or cyclic product; canonical in/out."""
+        return self._full(jnp.asarray(a), jnp.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# blocked four-step: n = 2^17 .. 2^20 (matrix too large for one VMEM block)
+# ---------------------------------------------------------------------------
+
+def _blocked_split(n: int) -> tuple[int, int]:
+    """Square-ish split with n1, n2 powers of two, n2 >= 128."""
+    l = n.bit_length() - 1
+    l2 = max(7, l // 2)
+    return n >> l2, 1 << l2
+
+
+def blocked_supported(params: NTTParams, n1: int | None = None) -> bool:
+    if params.q >= (1 << 29) or params.q % 2 == 0:
+        return False
+    if n1 is None:
+        n1, n2 = _blocked_split(params.n)
+    else:
+        n2 = params.n // n1
+    return (params.n == n1 * n2 and n1 >= 256 and n2 >= 128
+            and params.n > (1 << 16))
+
+
+def _make_blocked_kernels(p1: NTTParams, p2: NTTParams, q: int):
+    """Three grid kernels over slabs of the (n1, n2) coefficient matrix:
+
+      K1  column packed-fwd + forward twist      (grid over n2 lane-blocks)
+      K2  row fwd(a), fwd(b), pointwise, row inv,
+          inverse twist (incl. n^-1·fix)          (grid over n1 row-blocks)
+      K3  column packed-inv + final correction    (grid over n2 lane-blocks)
+
+    The (n1, n2) intermediate lives in HBM between kernels in PACKED row
+    order (column-spectrum even slots ‖ odd slots) — the same seam the
+    fused kernel keeps in VMEM, so the twist/stage tables are shared with
+    :class:`PallasFourStep` unchanged.  9 HBM plane-passes per product vs
+    ~3·log2(n) for the stage-by-stage XLA path."""
+    n1, n2 = p1.n, p2.n
+    h1, h2 = n1 // 2, n2 // 2
+    l1, l2 = p1.log2n, p2.log2n
+    ops = _flavor_ops(q)
+    mont = ops["mont"]
+    cmul, dmul = ops["cmul"], ops["dmul"]
+    badd, bsub, gsub = ops["badd"], ops["bsub"], ops["gsub"]
+    csubq, csub2q = ops["csubq"], ops["csub2q"]
+
+    def block_mask(shape, axis, bsz):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        return ((i // bsz) & 1) == 0
+
+    def repack(A, B, bsz, axis, h):
+        mask = block_mask(A.shape, axis, bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, axis))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, axis), B)
+        return A2, B2
+
+    def bcast(row, axis):
+        return row[None, :, None] if axis == 1 else row[None, None, :]
+
+    def packed_fwd(A, B, tw, twsh, log2n, n, h, axis):
+        for s in range(log2n):
+            m = cmul(B, bcast(tw[s], axis), bcast(twsh[s], axis))
+            A, B = badd(A, m), bsub(A, m)
+            if s < log2n - 1:
+                A, B = repack(A, B, n >> (s + 2), axis, h)
+        return A, B
+
+    def packed_inv(A, B, tw, twsh, log2n, h, axis):
+        for s in range(log2n):
+            m = cmul(gsub(A, B), bcast(tw[s], axis), bcast(twsh[s], axis))
+            if mont:
+                A, B = csubq(A + B), m
+            else:
+                A, B = csub2q(A + B), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s, axis, h)
+        return A, B
+
+    def k1(x_ref, ctwf_ref, ctwfsh_ref, twfA_ref, twfAsh_ref,
+           twfB_ref, twfBsh_ref, out_ref):
+        """(t, n1, L2) natural columns -> packed twisted column spectrum."""
+        x = x_ref[...]
+        A, B = packed_fwd(x[:, :h1], x[:, h1:], ctwf_ref[...],
+                          ctwfsh_ref[...], l1, n1, h1, axis=1)
+        A = cmul(A, twfA_ref[...][None], twfAsh_ref[...][None])
+        B = cmul(B, twfB_ref[...][None], twfBsh_ref[...][None])
+        out_ref[...] = jnp.concatenate([A, B], axis=1)
+
+    def k2(fa_ref, fb_ref, rtwf_ref, rtwfsh_ref, rtwi_ref, rtwish_ref,
+           twi_ref, twish_ref, out_ref):
+        """(t, S1, n2) packed rows: rows fwd x2, pointwise, rows inv,
+        inverse twist (twi rows are the packed-order (n1, n2) table)."""
+        rtwf, rtwfsh = rtwf_ref[...], rtwfsh_ref[...]
+        rtwi, rtwish = rtwi_ref[...], rtwish_ref[...]
+        fa, fb = fa_ref[...], fb_ref[...]
+        aA, aB = packed_fwd(fa[..., :h2], fa[..., h2:], rtwf, rtwfsh,
+                            l2, n2, h2, axis=2)
+        bA, bB = packed_fwd(fb[..., :h2], fb[..., h2:], rtwf, rtwfsh,
+                            l2, n2, h2, axis=2)
+        A, B = packed_inv(dmul(aA, bA), dmul(aB, bB), rtwi, rtwish,
+                          l2, h2, axis=2)
+        c = jnp.concatenate([A, B], axis=2)
+        out_ref[...] = cmul(c, twi_ref[...][None], twish_ref[...][None])
+
+    def k3(c_ref, ctwi_ref, ctwish_ref, out_ref):
+        """(t, n1, L2) packed rows -> natural-order canonical output."""
+        c = c_ref[...]
+        A, B = packed_inv(c[:, :h1], c[:, h1:], ctwi_ref[...],
+                          ctwish_ref[...], l1, h1, axis=1)
+        out = jnp.concatenate([A, B], axis=1)
+        if not mont:
+            out = csubq(out)
+        out_ref[...] = out
+
+    return k1, k2, k3
+
+
+class PallasFourStepBlocked:
+    """Large-n polymul (n = 2^17 .. 2^20) as three gridded Pallas kernels
+    over slabs of the (n1, n2) coefficient matrix — the single-chip
+    continuation of :class:`PallasFourStep` past the one-block VMEM
+    envelope.  API-compatible: ``polymul`` on (batch, n) int32.
+
+    Reference lineage: the same NTTN.v monolithic stage loop at n up to
+    2^15 (defines.v:42, NTTN.v:25-27), scaled past VMEM the way the FPGA
+    scales past one BRAM bank — by blocking the matrix and streaming
+    slabs (NTTN.v:94-117), with HBM playing DRAM."""
+
+    def __init__(self, params: NTTParams, n1: int | None = None,
+                 tile: int | None = None, interpret: bool = False):
+        if not blocked_supported(params, n1):
+            raise ValueError(
+                f"PallasFourStepBlocked needs odd q < 2^29 and "
+                f"2^17 <= n = n1·n2 (got n={params.n}, q={params.q})")
+        self.params = params
+        p, q = params, params.q
+        if n1 is None:
+            n1, n2 = _blocked_split(p.n)
+        else:
+            n2 = p.n // n1
+        self.n1, self.n2 = n1, n2
+        self.flavor = _flavor(q)
+        self.mont = self.flavor == "mont"
+        self.tile = 1 if tile is None else tile
+        # lane-block width for K1/K3 (columns) and row-block height for K2
+        self.L2 = min(256, n2)
+        self.S1 = max(8, min(128, (1 << 19) // n2))
+        self.interpret = interpret
+
+        om1 = pow(p.omega, n2, q)
+        psi1 = pow(p.psi, n2, q) if p.psi else 0
+        self.p1 = NTTParams(n=n1, q=q, omega=om1, psi=psi1)
+        self.p2 = NTTParams(n=n2, q=q, omega=pow(p.omega, n1, q), psi=0)
+
+        self._ctwf, self._ctwfsh = _packed_stage_tables(
+            self.p1, inverse=False, flavor=self.flavor)
+        self._ctwi, self._ctwish = _packed_stage_tables(
+            self.p1, inverse=True, flavor=self.flavor)
+        self._rtwf, self._rtwfsh = _packed_stage_tables(
+            self.p2, inverse=False, flavor=self.flavor)
+        self._rtwi, self._rtwish = _packed_stage_tables(
+            self.p2, inverse=True, flavor=self.flavor)
+        PallasFourStep._twist_tables(self)
+        # K2 consumes the inverse twist as one packed-order (n1, n2) table
+        self._twi_full = np.concatenate([self._twiA, self._twiB], axis=0)
+        self._twish_full = np.concatenate([self._twiAsh, self._twiBsh],
+                                          axis=0)
+
+    @functools.cached_property
+    def _calls(self):
+        n1, n2, t = self.n1, self.n2, self.tile
+        L2, S1 = self.L2, self.S1
+        k1, k2, k3 = _make_blocked_kernels(self.p1, self.p2, self.params.q)
+        interp = self.interpret
+
+        def tab(a):
+            shape = a.shape
+            return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        col_spec = pl.BlockSpec((t, n1, L2), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+        twcol = pl.BlockSpec((n1 // 2, L2), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM)
+        row_spec = pl.BlockSpec((t, S1, n2), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)
+        twrow = pl.BlockSpec((S1, n2), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM)
+
+        def call_k1(x, *tabs):
+            return pl.pallas_call(
+                k1, grid=(x.shape[0] // t, n2 // L2),
+                in_specs=[col_spec, tab(tabs[0]), tab(tabs[1]),
+                          twcol, twcol, twcol, twcol],
+                out_specs=col_spec,
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+                interpret=interp)(x, *tabs)
+
+        def call_k2(fa, fb, *tabs):
+            return pl.pallas_call(
+                k2, grid=(fa.shape[0] // t, n1 // S1),
+                in_specs=[row_spec, row_spec] + [tab(a) for a in tabs[:4]]
+                + [twrow, twrow],
+                out_specs=row_spec,
+                out_shape=jax.ShapeDtypeStruct(fa.shape, jnp.int32),
+                interpret=interp)(fa, fb, *tabs)
+
+        def call_k3(c, *tabs):
+            return pl.pallas_call(
+                k3, grid=(c.shape[0] // t, n2 // L2),
+                in_specs=[col_spec, tab(tabs[0]), tab(tabs[1])],
+                out_specs=col_spec,
+                out_shape=jax.ShapeDtypeStruct(c.shape, jnp.int32),
+                interpret=interp)(c, *tabs)
+
+        return call_k1, call_k2, call_k3
+
+    @functools.cached_property
+    def _full(self):
+        n, n1, n2, t = self.params.n, self.n1, self.n2, self.tile
+        call_k1, call_k2, call_k3 = self._calls
+        k1tabs = (self._ctwf, self._ctwfsh, self._twfA, self._twfAsh,
+                  self._twfB, self._twfBsh)
+        k2tabs = (self._rtwf, self._rtwfsh, self._rtwi, self._rtwish,
+                  self._twi_full, self._twish_full)
+        k3tabs = (self._ctwi, self._ctwish)
+
+        def full(a, b):
+            lead = a.shape[:-1]
+            a = a.astype(jnp.int32).reshape(-1, n1, n2)
+            b = b.astype(jnp.int32).reshape(-1, n1, n2)
+            batch = a.shape[0]
+            pad = (-batch) % t
+            if pad:
+                a = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+                b = jnp.pad(b, ((0, pad), (0, 0), (0, 0)))
+            fa = call_k1(a, *k1tabs)
+            fb = call_k1(b, *k1tabs)
+            c = call_k2(fa, fb, *k2tabs)
+            out = call_k3(c, *k3tabs)
             return out[:batch].reshape(*lead, n)
 
         return jax.jit(full)

@@ -102,6 +102,13 @@ class PolyMultEngine:
                     and fourstep.supported(p)):
                 self._plan = fourstep.PallasFourStep(p)
                 self._kind = "fourstep-pallas"
+            elif (self.backend in ("auto", "pallas")
+                    and self._tpu_default()
+                    and fourstep.blocked_supported(p)):
+                # past the one-block VMEM envelope (n up to 2^20): three
+                # gridded kernels over (n1, n2) slabs
+                self._plan = fourstep.PallasFourStepBlocked(p)
+                self._kind = "fourstep-blocked-pallas"
             else:
                 from ..parallel.sharded import ShardedPlan, make_mesh
                 self._plan = ShardedPlan(p, make_mesh(1))
@@ -156,7 +163,8 @@ class PolyMultEngine:
                 sp.shard_coeffs(np.atleast_2d(b))))
         a = np.asarray(a, dtype=np.int64).astype(np.int32)
         b = np.asarray(b, dtype=np.int64).astype(np.int32)
-        if self._kind in ("pallas", "incomplete-pallas", "fourstep-pallas"):
+        if self._kind in ("pallas", "incomplete-pallas", "fourstep-pallas",
+                          "fourstep-blocked-pallas"):
             return np.asarray(self._plan.polymul(a, b))
         if self._kind == "mxu":
             return np.asarray(self._plan.polymul_jit(a, b))
