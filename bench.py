@@ -246,8 +246,16 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             k = len(plan.primes)
             bf = inner * k * _butterflies(n, p.log2n, batch)
             flavor = "mont"
-            # 4 planes in + 2 out per chained product, (batch, n) int32
-            traffic = inner * batch * n * 4 * 6
+            # 4 planes in + 2 out per chained product, (batch, n) int32,
+            # plus the (k, log2n, n/2) fwd+inv twiddle tables fetched once
+            # per pallas_call (constant index map: one DMA per call, not
+            # per grid step), i.e. once per inner iteration.  The split
+            # and Garner lane-ops are NOT in the compute-side bound
+            # (OPS_PER_BUTTERFLY counts channel-NTT butterflies only), so
+            # the compute fraction reported for this backend is
+            # conservative.
+            tw_bytes = 2 * k * p.log2n * (n // 2) * 4
+            traffic = inner * (batch * n * 4 * 6 + tw_bytes)
         elif plan.dcrt is not None:
             # fully device-resident pipeline: chain packed-plane products
             # (output planes feed back as the next multiplicand)
@@ -479,6 +487,8 @@ def readme_table() -> str:
         roof = (f"{100 * d['roofline_fraction']:.0f}% of "
                 f"{d['roofline_bound']} bound"
                 if "roofline_fraction" in d else "—")
+        if d.get("stale"):
+            roof += " ⚠ stale (failed in latest sweep)"
         qb = d["q"]
         q_s = str(qb) if qb < (1 << 24) else f"{qb.bit_length()}-bit"
         lines.append(
@@ -517,19 +527,29 @@ def main():
 
     if args.sweep:
         # merge-update per config as results land: remote compiles can take
-        # minutes each, so a partially-completed sweep still persists
+        # minutes each, so a partially-completed sweep still persists.
+        # Every row is stamped; rows for configs no longer in SWEEP are
+        # dropped so the artifact (and the README table generated from it)
+        # can't render stale measurements as current, and a config that
+        # fails this run keeps its old row but gets flagged "stale".
         try:
             with open("BENCH_SWEEP.json") as f:
                 details = json.load(f)
         except (OSError, ValueError):
             details = []
+        sweep_cfgs = {c for c, _, _ in SWEEP}
+        details = [d for d in details if d["config"] in sweep_cfgs]
         by_cfg = {d["config"]: i for i, d in enumerate(details)}
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         for cfg, batch, inner in SWEEP:
             try:
                 _, d = bench_config(cfg, batch, max(5, args.iters // 3),
                                     args.warmup, inner=inner)
+                d["ts"] = stamp
             except Exception as e:          # keep sweeping
                 log(f"[bench] {cfg} FAILED: {e}")
+                if cfg in by_cfg:
+                    details[by_cfg[cfg]]["stale"] = True
                 continue
             if cfg in by_cfg:
                 details[by_cfg[cfg]] = d

@@ -79,6 +79,29 @@ def test_variant_order_relations(sw, rng):
         ref.ntt(xr, sw, "gs", "rev2std"), f_rev2std)
 
 
+def test_ntt_ct_rev2std_v1(sw, rng):
+    """The ninth plain variant (ntt.C:168): psi-power table indexing
+    p[j*l] computes the same transform as the compact-table version 2,
+    forward and inverse."""
+    x = rng.integers(0, sw.q, sw.n)
+    np.testing.assert_array_equal(
+        ref.ntt_ct_rev2std_v1(x, sw),
+        ref.ntt(x, sw, "ct", "rev2std"))
+    np.testing.assert_array_equal(
+        ref.ntt_ct_rev2std_v1(x, sw, inverse=True),
+        ref.ntt(x, sw, "ct", "rev2std", inverse=True))
+    # direct indexing semantics: stage t reads psi_pow[j * (n//t)]
+    from tpu_ntt.params import tables
+    psi_pow = tables(sw)["psi_powers"].astype(np.int64)
+    t = 4
+    l = sw.n // t
+    want_tw = psi_pow[(np.arange(t) * l) % sw.n]
+    # psi^(l*j) == omega^((n/2t)*j): the v2 compact table entry
+    omega_tw = np.array([pow(sw.omega, (sw.n // (2 * t)) * j, sw.q)
+                         for j in range(t)])
+    np.testing.assert_array_equal(want_tw, omega_tw)
+
+
 def test_variant_roundtrips(sw, rng):
     x = rng.integers(0, sw.q, sw.n)
     for fwd_kind in ("ct", "gs"):

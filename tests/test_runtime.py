@@ -176,6 +176,68 @@ def test_watchdog_deadline():
               attempts=2, backoff_s=0.01)
 
 
+def test_engine_multiply_robust_recovers_from_hang(rng, monkeypatch):
+    """Failure-detection wired into the host flow: a multiply that wedges
+    (injected hang, the stuck-busy-bit analog) trips the deadline and the
+    retry succeeds once the fault clears."""
+    import time as _t
+    from tpu_ntt.utils.watchdog import DeviceTimeout
+    eng = PolyMultEngine(n=256, q=12289)
+    a = rng.integers(0, 12289, (2, 256))
+    b = rng.integers(0, 12289, (2, 256))
+    want = eng.multiply(a, b)
+
+    real = PolyMultEngine.multiply
+    calls = []
+
+    def wedged_once(self, x, y):
+        calls.append(1)
+        if len(calls) == 1:
+            _t.sleep(5)                   # wedge: exceeds the deadline
+        return real(self, x, y)
+
+    monkeypatch.setattr(PolyMultEngine, "multiply", wedged_once)
+    c = eng.multiply_robust(a, b, deadline_s=0.5, attempts=2,
+                            backoff_s=0.01)
+    np.testing.assert_array_equal(c, want)
+    assert len(calls) == 2
+
+    # a permanently wedged device surfaces DeviceTimeout after attempts
+    monkeypatch.setattr(PolyMultEngine, "multiply",
+                        lambda self, x, y: _t.sleep(5))
+    with pytest.raises(DeviceTimeout):
+        eng.multiply_robust(a, b, deadline_s=0.2, attempts=2,
+                            backoff_s=0.01)
+
+
+def test_engine_multiply_batch_checkpointed(tmp_path, rng, monkeypatch):
+    """multiply_batch resumes from the last complete chunk after a crash
+    mid-job (checkpoint/resume + watchdog composed at the engine level)."""
+    eng = PolyMultEngine(n=256, q=12289)
+    a = rng.integers(0, 12289, (10, 256))
+    b = rng.integers(0, 12289, (10, 256))
+    want = eng.multiply(a, b)
+
+    real = PolyMultEngine.multiply
+    calls = []
+
+    def crash_on_third(self, x, y):
+        calls.append(1)
+        if len(calls) == 3:
+            raise RuntimeError("injected crash")
+        return real(self, x, y)
+
+    monkeypatch.setattr(PolyMultEngine, "multiply", crash_on_third)
+    with pytest.raises(RuntimeError):
+        eng.multiply_batch(tmp_path / "job", a, b, chunk=3, attempts=1)
+    # resume: only the missing chunks rerun
+    done_before = len(list(CheckpointedRun(tmp_path / "job", total=10,
+                                           chunk=3).pending()))
+    assert 0 < done_before < 4
+    c = eng.multiply_batch(tmp_path / "job", a, b, chunk=3, attempts=1)
+    np.testing.assert_array_equal(c, want)
+
+
 def test_engine_large_n_dispatch(monkeypatch):
     """Single chip + n>8192: the engine picks the fused four-step kernel
     on an accelerator backend and the XLA ShardedPlan on CPU."""

@@ -146,8 +146,15 @@ def test_multihost_initialize_and_global_mesh():
     coordinator on localhost) and run a sharded product on the resulting
     global mesh — the single-machine twin of a pod bring-up
     (NTT_PCIECommunicationv2.c's open-then-selftest discipline)."""
+    import socket
     import subprocess
     import sys
+
+    # ephemeral free port: a hardcoded one collides with concurrent test
+    # sessions (ADVICE r2)
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
 
     code = r"""
 import jax
@@ -158,8 +165,8 @@ from tpu_ntt.parallel.sharded import ShardedPlan
 from tpu_ntt.params import find_params
 from tpu_ntt import ref
 
-multihost.initialize(coordinator="localhost:12799", num_processes=1,
-                     process_id=0)
+multihost.initialize(coordinator="localhost:%d", num_processes=1,
+                     process_id=0)""" % port + r"""
 assert jax.process_count() == 1
 mesh = multihost.global_mesh(axes=("dp", "sp"), dp=1)
 assert mesh.shape == {"dp": 1, "sp": 4}

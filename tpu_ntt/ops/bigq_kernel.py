@@ -37,6 +37,7 @@ channel primes odd, 2^16 < p < 2^29, p ≡ 1 (mod 2n); Π p > 2·n·(q-1)².
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -63,10 +64,17 @@ def _to_limbs(c: int, nl: int) -> list[int]:
 
 
 def supported(n: int, primes, q: int, tile: int | None = None) -> bool:
-    """Flat packed channel geometry (n/2 slots on lanes) + VMEM budget."""
+    """Flat packed channel geometry (n/2 slots on lanes) + VMEM budget +
+    the kernel's exactness preconditions (docstring above): q <= 62 bits
+    (chunks() extracts bits 0..61) and prod(p) > 2·n·(q-1)² (signed-CRT
+    range for the integer negacyclic product)."""
     if not all((1 << 16) < p < (1 << 29) and p % 2 == 1 for p in primes):
         return False
     if n < 256 or n > 8192:
+        return False
+    if int(q).bit_length() > 62:
+        return False
+    if math.prod(int(p) for p in primes) <= 2 * n * (int(q) - 1) ** 2:
         return False
     tile = tile if tile is not None else _default_tile(n)
     # live planes: 4 in + 2 out + 2·k channel spectra + ~8 working; the
@@ -323,6 +331,14 @@ class PallasBigQ:
         self.primes = [int(p) for p in primes]
         self.q = int(q)
         self.tile = tile if tile is not None else _default_tile(n)
+        # exactness preconditions asserted directly (not just via
+        # supported()) so a caller constructing PallasBigQ with an
+        # insufficient prime set or an over-wide q fails loudly instead
+        # of silently wrapping mod prod(p) / dropping high bits
+        assert self.q.bit_length() <= 62, \
+            f"q must fit in 62 bits (got {self.q.bit_length()})"
+        assert math.prod(self.primes) > 2 * n * (self.q - 1) ** 2, \
+            "prod(primes) must exceed 2*n*(q-1)^2 for exact signed CRT"
         if not supported(n, self.primes, self.q, self.tile):
             raise ValueError(
                 f"PallasBigQ unsupported: n={n}, primes={self.primes}")

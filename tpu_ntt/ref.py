@@ -32,7 +32,7 @@ from .utils.bitrev import bit_reverse_permute
 
 __all__ = [
     "schoolbook_negacyclic", "schoolbook_cyclic",
-    "ntt", "NTT_VARIANTS",
+    "ntt", "NTT_VARIANTS", "ntt_ct_rev2std_v1",
     "red", "mul_red", "shift", "correct",
     "ntt_red", "product_red", "product_plain",
     "hw_ntt", "hw_intt", "hw_polymul",
@@ -175,6 +175,34 @@ NTT_VARIANTS = {
     "gs_rev2std": ("gs", "rev2std"),
     "gs_std2rev": ("gs", "std2rev"),
 }
+
+
+def ntt_ct_rev2std_v1(a, p: NTTParams, inverse: bool = False) -> np.ndarray:
+    """The ninth plain variant (``ntt.C:168`` ``ntt_ct_rev2std_v1``):
+    the same CT rev2std transform, but the stage twiddle for round t,
+    position j is read from the *full psi-powers array* at index j·l with
+    l = n/t — ``w = p[j*l]  // w_t^j = psi^(l*j)`` — instead of the
+    compact per-stage table ``p[t+j]`` of version 2.
+
+    Since psi² = omega, psi^(l·j) = omega^((n/2t)·j): the two versions
+    compute identical values; only the table layout/indexing differs.
+    Exposed by name for inventory parity; pinned against the shared
+    variant in tests.
+    """
+    t_ = tables(p)
+    psi_pow = np.asarray(
+        t_["inv_psi_powers" if inverse else "psi_powers"], dtype=np.int64)
+    n = p.n
+    # materialise the v1 indexing into the compact w[t+j] layout the
+    # generic engine consumes: w[t+j] = psi_pow[j * (n // t)]
+    w = np.zeros(n, dtype=np.int64)
+    t = 1
+    while t < n:
+        l = n // t
+        j = np.arange(t)
+        w[t:2 * t] = psi_pow[(j * l) % n]
+        t <<= 1
+    return ntt(a, p, "ct", "rev2std", table=w)
 
 
 # ---------------------------------------------------------------------------

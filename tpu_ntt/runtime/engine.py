@@ -170,6 +170,43 @@ class PolyMultEngine:
             return np.asarray(self._plan.polymul_jit(a, b))
         return np.asarray(self._plan.polymul_jit(a, b))
 
+    def multiply_robust(self, a, b, *, deadline_s: float = 300.0,
+                        attempts: int = 3,
+                        backoff_s: float = 5.0) -> np.ndarray:
+        """``multiply`` with the failure detector wired in: each attempt
+        runs under a :func:`~tpu_ntt.utils.watchdog.with_deadline` (the
+        busy/done-polling-timeout analog,
+        ``NTT_PCIECommunicationv2.c:56-103``) and wedged/failed attempts
+        retry with backoff.  Raises
+        :class:`~tpu_ntt.utils.watchdog.DeviceTimeout` (or the last
+        error) after ``attempts`` failures — at which point the caller
+        should checkpoint and restart the session, the reference's
+        reboot-after-reprogram posture."""
+        from ..utils.watchdog import retry
+        return retry(lambda: self.multiply(a, b), attempts=attempts,
+                     timeout_s=deadline_s, backoff_s=backoff_s)
+
+    def multiply_batch(self, directory, a, b, *, chunk: int = 4096,
+                       deadline_s: float = 300.0,
+                       attempts: int = 3) -> np.ndarray:
+        """Restartable batch multiply: chunks stream through
+        ``multiply_robust`` and completed chunks persist via
+        :class:`~tpu_ntt.utils.checkpoint.CheckpointedRun`, so a crashed
+        or wedged job resumes from the last complete chunk instead of
+        restarting (SURVEY.md §5 checkpoint/resume + failure detection,
+        wired together at the engine level)."""
+        from ..utils.checkpoint import CheckpointedRun
+        a = np.atleast_2d(a)
+        b = np.atleast_2d(b)
+        if a.shape != b.shape:
+            raise ValueError("operand batches must have the same shape")
+        run = CheckpointedRun(directory, total=a.shape[0], chunk=chunk)
+        for lo, hi in run.pending():
+            run.complete(lo, hi, self.multiply_robust(
+                a[lo:hi], b[lo:hi], deadline_s=deadline_s,
+                attempts=attempts))
+        return run.gather()
+
     # ------------------------------------------------------------------
 
     def self_test(self, verbose: bool = False) -> EngineReport:
