@@ -257,6 +257,104 @@ def test_fused_bigq_kernel_adversarial_extremes():
     np.testing.assert_array_equal(kb.polymul(a, z), z)
 
 
+def test_fused_bigq_fourstep_kernel_bit_exact(rng):
+    """The four-step fused big-q kernel (split + four-step channel NTTs +
+    Garner CRT in one kernel) is bit-exact vs the schoolbook oracle,
+    including padding (batch not a multiple of the tile)."""
+    from tpu_ntt.ops import bigq_fourstep
+
+    n = 2048
+    p = find_params(n, 40)
+    primes = select_rns_primes(n, 1 + p.log2n + 2 * 40 + 1)
+    assert bigq_fourstep.supported(n, primes, p.q)
+    kb = bigq_fourstep.PallasBigQFourStep(n, primes, p.q, tile=2,
+                                          interpret=True)
+    a = rng.integers(0, p.q, (3, n)).astype(np.uint64)
+    b = rng.integers(0, p.q, (3, n)).astype(np.uint64)
+    c = kb.polymul(a, b)
+    for i in range(3):
+        want = ref.schoolbook_negacyclic(a[i].astype(object),
+                                         b[i].astype(object), p.q)
+        np.testing.assert_array_equal(c[i].astype(object),
+                                      want.astype(object))
+
+
+def test_fused_bigq_fourstep_62bit_extremes(rng):
+    """62-bit modulus class + domain-extreme coefficients through the
+    four-step fused kernel (stresses Garner sign compare / ladder)."""
+    from tpu_ntt.ops import bigq_fourstep
+
+    n = 2048
+    p = find_params(n, 62)
+    primes = select_rns_primes(n, 1 + p.log2n + 2 * 62 + 1)
+    kb = bigq_fourstep.PallasBigQFourStep(n, primes, p.q, tile=1,
+                                          interpret=True)
+    a = np.full((1, n), p.q - 1, dtype=np.uint64)
+    b = np.full((1, n), p.q - 1, dtype=np.uint64)
+    c = kb.polymul(a, b)
+    want = ref.schoolbook_negacyclic(a[0].astype(object),
+                                     b[0].astype(object), p.q)
+    np.testing.assert_array_equal(c[0].astype(object), want.astype(object))
+
+
+def test_pallas_split_garner_kernels_match_devicecrt(rng):
+    """The standalone split/Garner Pallas kernels are bit-exact twins of
+    DeviceCRT (the XLA composition they replace on TPU)."""
+    from tpu_ntt.bigq import DeviceCRT
+    from tpu_ntt.ops.bigq_kernel import PallasGarner, PallasRNSSplit
+    from tpu_ntt.ops.limb import pack_u64_planes, unpack_u64_planes
+
+    n = 4096
+    p = find_params(n, 50)
+    primes = select_rns_primes(n, 1 + p.log2n + 2 * 50 + 1)
+    dcrt = DeviceCRT(primes, p.q)
+    vals = rng.integers(0, p.q, (1, n)).astype(np.uint64)
+    lo, hi = (np.asarray(t) for t in pack_u64_planes(vals))
+
+    sp = PallasRNSSplit(primes, interpret=True)
+    res = np.asarray(sp.split_planes(lo, hi))
+    np.testing.assert_array_equal(res, np.asarray(dcrt.split(lo, hi)))
+
+    g = PallasGarner(primes, p.q, interpret=True)
+    glo, ghi = g.garner_planes(res)
+    wlo, whi = dcrt.reconstruct(res)
+    np.testing.assert_array_equal(np.asarray(glo), np.asarray(wlo))
+    np.testing.assert_array_equal(np.asarray(ghi), np.asarray(whi))
+    # and the round trip recovers the values (all residues agree -> the
+    # CRT value is the original, already < q)
+    back = unpack_u64_planes(np.asarray(glo), np.asarray(ghi))
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_pallas_bigq_blocked_end_to_end(rng):
+    """PallasBigQBlocked (split kernel -> blocked four-step channels ->
+    Garner kernel, one jit) vs the schoolbook oracle at n = 2^17."""
+    from tpu_ntt.bigq import PallasBigQBlocked
+
+    n = 1 << 17
+    p = find_params(n, 40)
+    primes = select_rns_primes(n, 1 + p.log2n + 2 * 40 + 1)
+    assert PallasBigQBlocked.supported(n, primes, p.q)
+    kb = PallasBigQBlocked(n, primes, p.q, interpret=True)
+    a = np.zeros((1, n), dtype=np.uint64)
+    b = np.zeros((1, n), dtype=np.uint64)
+    nz = rng.integers(0, n, 40)
+    a[0, nz] = rng.integers(0, p.q, 40).astype(np.uint64)
+    nzb = rng.integers(0, n, 40)
+    b[0, nzb] = rng.integers(0, p.q, 40).astype(np.uint64)
+    c = kb.polymul(a, b)
+    # sparse oracle: exact negacyclic product of the nonzero terms
+    want = np.zeros(n, dtype=object)
+    for i in np.unique(nz):
+        for j in np.unique(nzb):
+            t = int(a[0, i]) * int(b[0, j])
+            if i + j < n:
+                want[i + j] = (want[i + j] + t) % p.q
+            else:
+                want[i + j - n] = (want[i + j - n] - t) % p.q
+    np.testing.assert_array_equal(c[0].astype(object), want)
+
+
 def test_bigq_plan_prefers_fused_kernel_when_supported(monkeypatch):
     """backend='pallas' wires the fused kernel for supported shapes."""
     p = find_params(256, 45)

