@@ -358,7 +358,7 @@ def test_pallas_incomplete_matvec_extreme(rng):
 
 @pytest.mark.parametrize("name", ["sw256", "dilithium256"])
 def test_pallas_full_matvec_matches_plan(rng, name):
-    """PallasPolymul.matvec (unary kernels + spectral accumulate) ==
+    """PallasPolymul.matvec (fused single-kernel module product) ==
     Plan.matvec for both Shoup and f32-Barrett flavors."""
     from tpu_ntt.transform import Plan
     p = preset(name)
@@ -366,5 +366,44 @@ def test_pallas_full_matvec_matches_plan(rng, name):
     plan = Plan(p)
     A = rng.integers(0, p.q, (2, 2, 3, p.n)).astype(np.int32)
     s = rng.integers(0, p.q, (2, 3, p.n)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(pk.matvec(A, s)),
+                                  np.asarray(plan.matvec_jit(A, s)))
+
+
+def test_pallas_fused_matvec_all_flavors(rng):
+    """ops/matvec.PallasMatvec (one kernel: transforms + spectral
+    accumulate + shared inverses) == Plan.matvec across all three
+    arithmetic flavors, plus domain-extreme inputs and the unary-kernel
+    fallback path."""
+    from tpu_ntt.ops.matvec import PallasMatvec
+    from tpu_ntt.params import find_params
+    from tpu_ntt.transform import Plan
+
+    for p in (preset("sw256"), preset("dilithium256"),
+              find_params(256, 28)):
+        mv = PallasMatvec(p, interpret=True)
+        plan = Plan(p)
+        A = rng.integers(0, p.q, (1, 2, 2, p.n)).astype(np.int32)
+        s = rng.integers(0, p.q, (1, 2, p.n)).astype(np.int32)
+        got = np.asarray(mv.matvec(A, s))
+        np.testing.assert_array_equal(
+            got, np.asarray(plan.matvec_jit(A, s)),
+            err_msg=f"flavor {mv.flavor}")
+        assert got.min() >= 0 and got.max() < p.q
+        # extremes stress the spectral accumulator fold chain
+        Ax = np.full((1, 2, 2, p.n), p.q - 1, dtype=np.int32)
+        sx = np.full((1, 2, p.n), p.q - 1, dtype=np.int32)
+        np.testing.assert_array_equal(
+            np.asarray(mv.matvec(Ax, sx)),
+            np.asarray(plan.matvec_jit(Ax, sx)),
+            err_msg=f"flavor {mv.flavor} extremes")
+
+    # shapes past the fused envelope fall back to the unary composition
+    p = preset("sw256")
+    pk = PallasPolymul(p, tile=8, interpret=True)
+    assert not pk._fused_matvec.supported_shape(64, 64)
+    plan = Plan(p)
+    A = rng.integers(0, p.q, (1, 1, 1, p.n)).astype(np.int32)
+    s = rng.integers(0, p.q, (1, 1, p.n)).astype(np.int32)
     np.testing.assert_array_equal(np.asarray(pk.matvec(A, s)),
                                   np.asarray(plan.matvec_jit(A, s)))

@@ -187,3 +187,84 @@ print("MULTIHOST-OK")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
                        text=True, timeout=300, env=env)
     assert "MULTIHOST-OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_multiprocess_dcn_sharded_polymul():
+    """REAL multi-process DCN: two jax.distributed processes (Gloo over
+    localhost, 2 virtual CPU devices each) run a ShardedPlan polymul
+    whose sequence-parallel axis SPANS the process boundary, so the
+    four-step all_to_all crosses processes.  Each process verifies its
+    addressable shards bit-exactly against the schoolbook oracle — the
+    cross-process twin of the reference's host<->device transport layer
+    (NTT_PCIECommunicationv2.c:109-224).  Writes DCN_MULTIPROC.json."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+
+    worker = r"""
+import sys
+proc_id = int(sys.argv[1]); port = int(sys.argv[2])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tpu_ntt.parallel import multihost
+from tpu_ntt.parallel.sharded import ShardedPlan
+from tpu_ntt.params import find_params
+from tpu_ntt import ref
+
+multihost.initialize(coordinator=f"localhost:{port}", num_processes=2,
+                     process_id=proc_id)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+mesh = multihost.global_mesh(axes=("dp", "sp"), dp=1)
+p = find_params(1 << 12, 28)
+sp = ShardedPlan(p, mesh, axis="sp")
+rng = np.random.default_rng(0)           # same data on every process
+a = rng.integers(0, p.q, (1, p.n))
+b = rng.integers(0, p.q, (1, p.n))
+c = sp.polymul_jit(sp.shard_coeffs(a), sp.shard_coeffs(b))
+# verify THIS process's addressable shards against the oracle
+want = np.asarray(ref.schoolbook_negacyclic(
+    a[0].astype(object), b[0].astype(object), p.q)).astype(np.int64)
+want3 = want.reshape(1, sp.n1, sp.n2)
+nsh = 0
+for shard in c.addressable_shards:
+    np.testing.assert_array_equal(
+        np.asarray(shard.data).astype(np.int64), want3[shard.index])
+    nsh += 1
+assert nsh == 2, nsh
+print(f"proc {proc_id}: DCN-OK shards={nsh} n={p.n} q={p.q} "
+      f"mesh={dict(mesh.shape)}", flush=True)
+"""
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    t0 = time.time()
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", worker, str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    for i, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=240)
+        outs.append(out)
+        assert pr.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i}: DCN-OK" in out, out
+    # evidence artifact (refreshed whenever this test runs at repo root)
+    if os.path.exists("SURVEY.md"):
+        with open("DCN_MULTIPROC.json", "w") as f:
+            json.dump({
+                "processes": 2, "devices_per_process": 2,
+                "mesh": {"dp": 1, "sp": 4}, "n": 4096, "q_bits": 28,
+                "transport": "jax.distributed + Gloo over localhost "
+                             "(the DCN stand-in this sandbox permits)",
+                "checked": "per-process addressable shards vs schoolbook",
+                "wall_s": round(time.time() - t0, 1),
+                "ok": True,
+            }, f, indent=1)

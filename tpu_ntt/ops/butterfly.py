@@ -1036,12 +1036,19 @@ class PallasPolymul:
 
         return jax.jit(mv)
 
+    @functools.cached_property
+    def _fused_matvec(self):
+        from .matvec import PallasMatvec
+        return PallasMatvec(self.params, interpret=self.interpret)
+
     def matvec(self, A, s):
-        """Module product A (..., r, c, n) × s (..., c, n) -> (..., r, n):
-        c vector transforms, r·c matrix transforms, spectral
-        pointwise-accumulate, r inverses — all through the fused unary
-        kernels in one jit (Plan.matvec fast-path twin, the ML-DSA
-        A_hat·s_hat pattern)."""
+        """Module product A (..., r, c, n) × s (..., c, n) -> (..., r, n)
+        — the ML-DSA A_hat·s_hat pattern.  Fast path: ONE fused kernel
+        per batch block (ops/matvec.PallasMatvec: c vector transforms,
+        r·c matrix transforms, spectral multiply-accumulate, r shared
+        inverses, one dispatch).  Shapes outside that kernel's VMEM
+        envelope fall back to composing the unary kernels in one jit
+        (r·c + r + c pallas_calls)."""
         check_domain(A, self.params.q, "matvec A")
         check_domain(s, self.params.q, "matvec s")
         A = jnp.asarray(A, jnp.int32)
@@ -1049,6 +1056,9 @@ class PallasPolymul:
         if s.shape[-2] != A.shape[-2] or A.shape[-1] != self.params.n:
             raise ValueError(f"matvec shape mismatch: A {A.shape} vs "
                              f"s {s.shape}")
+        r, c = A.shape[-3], A.shape[-2]
+        if self.params.n >= 16 and self._fused_matvec.supported_shape(r, c):
+            return self._fused_matvec.matvec(A, s)
         return self._matvec_jit(A, s)
 
 

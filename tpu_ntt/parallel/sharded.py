@@ -197,9 +197,13 @@ class ShardedPlan:
         return jnp.swapaxes(z, -1, -2)                    # (B, n1, L2)
 
     def _polymul_body(self, a, b):
-        fa = self._fwd_body(a)
-        fb = self._fwd_body(b)
-        return self._inv_body(self.arith.mul(fa, fb))
+        # both forward transforms ride ONE all_to_all (the forward body
+        # is batch-elementwise, so stacking a and b along the batch axis
+        # halves the per-product collective count: 2 instead of 3 —
+        # same bytes, fewer latency terms on the ICI critical path)
+        B = a.shape[0]
+        fab = self._fwd_body(jnp.concatenate([a, b], axis=0))
+        return self._inv_body(self.arith.mul(fab[:B], fab[B:]))
 
     # ------------------------------------------------------------------
     # public API
