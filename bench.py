@@ -125,9 +125,41 @@ def _chain(polymul_fn, inner: int):
     return jax.jit(chained)
 
 
+def _sparse_bigq_check(plan, n, q, rng, nnz=25):
+    """Exact sparse-oracle correctness check for large-ring big-q (the
+    schoolbook oracle is O(n²) python-int work — infeasible past ~2^13)."""
+    a = np.zeros((1, n), dtype=np.uint64)
+    b = np.zeros((1, n), dtype=np.uint64)
+    ia = rng.integers(0, n, nnz)
+    ib = rng.integers(0, n, nnz)
+    a[0, ia] = rng.integers(0, q, nnz).astype(np.uint64)
+    b[0, ib] = rng.integers(0, q, nnz).astype(np.uint64)
+    c = plan.polymul(a, b)
+    want = {}
+    for i in np.unique(ia):
+        for j in np.unique(ib):
+            t = int(a[0, i]) * int(b[0, j])
+            k2, s = (i + j, 1) if i + j < n else (i + j - n, -1)
+            want[int(k2)] = (want.get(int(k2), 0) + s * t) % q
+    got = {int(kk): int(c[0, kk]) for kk in np.nonzero(c[0])[0]}
+    if got != {kk: v for kk, v in want.items() if v}:
+        raise AssertionError("bigq sparse-oracle mismatch")
+
+
 def bench_config(config: str, batch: int, iters: int, warmup: int,
-                 backend: str = "auto", inner: int = 16):
-    """Returns (butterflies/s, detail dict)."""
+                 backend: str = "auto", inner: int = 16,
+                 fit: bool = False):
+    """Returns (butterflies/s, detail dict).
+
+    ``fit=True`` additionally measures the same config re-chained at
+    inner/4 and reports the MARGINAL per-product throughput from the
+    slope of T(inner) = fixed + slope·inner.  The tunneled dispatch
+    round-trip (observed 30 µs .. ~30 ms depending on relay health)
+    lands in ``fixed``; ``marginal_gbf`` is the device kernel's own
+    rate, which is what roofline fractions are judged on.  The headline
+    ``gbutterflies_per_s`` stays the end-to-end number (includes one
+    dispatch per call, as a real client would pay).
+    """
     import jax
     import jax.numpy as jnp
     from tpu_ntt.utils.jaxcache import enable_compile_cache
@@ -139,6 +171,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     rng = np.random.default_rng(0)
     flavor = None                 # set on fused-kernel paths -> roofline
     traffic = None                # HBM bytes per timed call (default below)
+    mk_fn = None                  # inner -> zero-arg timed fn (fit mode)
 
     if config == "kyber_matvec":             # ML-KEM A_hat·s_hat, k=3
         n, q, k = 256, 3329, 3
@@ -158,14 +191,16 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
         # chain: feed the output rows back as the next vector (outputs are
         # canonical ring elements, so the chain stays in-domain)
-        def chained(A_, s_):
-            def body(_, sv):
-                return mv(A_, sv)
-            out = jax.lax.fori_loop(0, inner, body, s_)
-            return out, jnp.max(out)
+        def mk_fn(iv):
+            def chained(A_, s_):
+                def body(_, sv):
+                    return mv(A_, sv)
+                out = jax.lax.fori_loop(0, iv, body, s_)
+                return out, jnp.max(out)
+            fn_c = jax.jit(chained)
+            return lambda: fn_c(A, s)
 
-        fn_c = jax.jit(chained)
-        fn = lambda: fn_c(A, s)
+        fn = mk_fn(inner)
         # work accounting: k(k+2) transforms per matvec = the butterfly
         # count of k(k+2)/3 polymuls (each polymul = 3 transforms)
         bf = inner * batch * k * (k + 2) * 2 * (128 // 2) * 7
@@ -200,62 +235,78 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 # setup, output never transposed back) — the timed op is
                 # the native-layout product; the API-layout cost is the
                 # two ~3 µs transposes XLA fuses at dispatch boundaries.
-                fn_c = _chain(plan.polymul_cm, inner)
                 acm, bcm = a.T, b.T
-                fn = lambda: fn_c(acm, bcm)
+                mk_fn = lambda iv: (
+                    lambda f=_chain(plan.polymul_cm, iv): f(acm, bcm))
             else:
-                fn_c = _chain(plan.polymul, inner)
-                fn = lambda: fn_c(a, b)
+                mk_fn = lambda iv: (
+                    lambda f=_chain(plan.polymul, iv): f(a, b))
+            fn = mk_fn(inner)
         else:
             plan = kyber_plan()
             check = plan.polymul_jit
-            fn_c = _chain(plan.polymul, inner)
-            fn = lambda: fn_c(a, b)
+            mk_fn = lambda iv: (
+                lambda f=_chain(plan.polymul, iv): f(a, b))
+            fn = mk_fn(inner)
         check_fn = lambda: check(a, b)
         bf = inner * 3 * batch * 2 * (128 // 2) * 7   # 2 size-128 sub-NTTs
-    elif config == "bigq62":                 # RNS channels + CRT, n=4096
+    elif config.startswith("bigq"):          # RNS channels + CRT
+        # bigq62: n=4096 (ONE-kernel or composed pipeline per BigQPlan's
+        # auto choice); bigq65536 / bigq1m: BASELINE config 4's large
+        # rings (n=2^16 / 2^20, 62-bit q) through the all-Pallas blocked
+        # pipeline
         from tpu_ntt.bigq import BigQPlan
-        p = find_params(4096, 62)
+        nring = {"bigq62": 4096, "bigq65536": 1 << 16,
+                 "bigq1m": 1 << 20}[config]
+        p = find_params(nring, 62)
         plan = BigQPlan(p)
         n, q = p.n, p.q
         ah = rng.integers(0, q, (batch, n)).astype(np.uint64)
         bh = rng.integers(0, q, (batch, n)).astype(np.uint64)
         a, b = ah, bh
         if plan.fused_kernel is not None:
-            # whole product in ONE kernel (split + channels + Garner):
             # chain on the packed planes (outputs are canonical, so they
             # feed back directly as the next multiplicand)
             from tpu_ntt.ops.limb import pack_u64_planes
             kb = plan.fused_kernel
             import jax as _jax
 
-            def chained(la, ha, lb, hb):
-                def body(_, planes):
-                    la_, ha_, lb_, hb_ = planes
-                    lc, hc = kb.polymul_planes(la_, ha_, lb_, hb_)
-                    return lc, hc, la_, ha_
-                out = _jax.lax.fori_loop(0, inner, body, (la, ha, lb, hb))
-                return out[:2], jnp.max(out[0])
+            def mk_fn(iv):
+                def chained(la, ha, lb, hb):
+                    def body(_, planes):
+                        la_, ha_, lb_, hb_ = planes
+                        lc, hc = kb.polymul_planes(la_, ha_, lb_, hb_)
+                        return lc, hc, la_, ha_
+                    out = _jax.lax.fori_loop(0, iv, body,
+                                             (la, ha, lb, hb))
+                    return out[:2], jnp.max(out[0])
+                fn_c = jax.jit(chained)
+                return lambda: fn_c(*pa, *pb)
 
-            fn_c = jax.jit(chained)
             pa = tuple(jnp.asarray(t) for t in pack_u64_planes(ah))
             pb = tuple(jnp.asarray(t) for t in pack_u64_planes(bh))
-            fn = lambda: fn_c(*pa, *pb)
-            check_fn = lambda: _HostResult(plan.polymul(ah, bh))
-            backend = "bigq-fused-pallas"
+            fn = mk_fn(inner)
+            if n <= 8192:
+                # schoolbook check affordable
+                check_fn = lambda: _HostResult(plan.polymul(ah, bh))
+            else:
+                def custom_check():
+                    _sparse_bigq_check(plan, n, q, rng)
+            backend = "bigq-" + type(kb).__name__
             k = len(plan.primes)
             bf = inner * k * _butterflies(n, p.log2n, batch)
             flavor = "mont"
-            # 4 planes in + 2 out per chained product, (batch, n) int32,
-            # plus the (k, log2n, n/2) fwd+inv twiddle tables fetched once
-            # per pallas_call (constant index map: one DMA per call, not
-            # per grid step), i.e. once per inner iteration.  The split
+            # HBM plane-traffic per chained product: the ONE-kernel form
+            # touches 6 coefficient planes + its twiddle tables; the
+            # composed (blocked) pipeline streams 6 + 6k plane-passes
+            # (split 4+2k, channel kernels 3k, Garner k+2).  The split
             # and Garner lane-ops are NOT in the compute-side bound
             # (OPS_PER_BUTTERFLY counts channel-NTT butterflies only), so
             # the compute fraction reported for this backend is
             # conservative.
             tw_bytes = 2 * k * p.log2n * (n // 2) * 4
-            traffic = inner * (batch * n * 4 * 6 + tw_bytes)
+            planes = 6 if type(kb).__name__ == "PallasBigQ" else 6 + 6 * k
+            traffic = inner * (batch * n * 4 * planes + tw_bytes)
         elif plan.dcrt is not None:
             # fully device-resident pipeline: chain packed-plane products
             # (output planes feed back as the next multiplicand)
@@ -319,8 +370,9 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             flavor = _flavor(p.q)
             a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
             b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-            fn_c = _chain(plan.polymul, inner)
-            fn = lambda: fn_c(a, b)
+            mk_fn = lambda iv: (
+                lambda f=_chain(plan.polymul, iv): f(a, b))
+            fn = mk_fn(inner)
             check_fn = lambda: plan.polymul(a, b)
         else:
             # XLA four-step (ShardedPlan on a 1-device mesh)
@@ -328,8 +380,9 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             plan = ShardedPlan(p, make_mesh(1))
             a = plan.shard_coeffs(rng.integers(0, q, (batch, n)))
             b = plan.shard_coeffs(rng.integers(0, q, (batch, n)))
-            fn_c = _chain(plan.polymul_jit, inner)
-            fn = lambda: fn_c(a, b)
+            mk_fn = lambda iv: (
+                lambda f=_chain(plan.polymul_jit, iv): f(a, b))
+            fn = mk_fn(inner)
             check_fn = lambda: plan.polymul_jit(a, b)
         bf = inner * _butterflies(n, p.log2n, batch)
     else:                                    # preset name: sw256/hw256/...
@@ -362,12 +415,12 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             # setup, output never transposed back); chaining in API layout
             # would add 3 relayouts x batch x n x 4B of HBM traffic per
             # inner product, which no real chained workload would pay
-            fn_c = _chain(impl.polymul_cm, inner)
             acm, bcm = a.T, b.T
-            fn = lambda: fn_c(acm, bcm)
+            mk_fn = lambda iv: (
+                lambda f=_chain(impl.polymul_cm, iv): f(acm, bcm))
         else:
-            fn_c = _chain(fn_impl, inner)
-            fn = lambda: fn_c(a, b)
+            mk_fn = lambda iv: (lambda f=_chain(fn_impl, iv): f(a, b))
+        fn = mk_fn(inner)
         check_fn = lambda: check_impl(a, b)
         bf = inner * _butterflies(n, p.log2n, batch)
 
@@ -409,19 +462,37 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
               "mean_ms": round(mean_s * 1e3, 4),
               "polymuls_per_s": round(inner * batch / med_s),
               "gbutterflies_per_s": round(bf_per_s / 1e9, 2)}
+
+    marg_s = med_s                # fit mode refines to the marginal time
+    if fit and mk_fn is not None and inner >= 4:
+        inner2 = inner // 4
+        fn2 = mk_fn(inner2)
+        _sync(fn2())              # compile
+        med2, _, _ = _timeit(fn2, iters, warmup)
+        slope = (med_s - med2) / (inner - inner2)
+        if slope > 0:
+            marg_s = slope * inner
+            detail["fixed_ms"] = round((med_s - marg_s) * 1e3, 3)
+            detail["marginal_gbf"] = round(bf / marg_s / 1e9, 2)
+            log(f"[bench] {config}: fit fixed={detail['fixed_ms']} ms, "
+                f"marginal {detail['marginal_gbf']} G butterflies/s")
+
     if flavor is not None:
         if traffic is None:
             traffic = inner * 3 * batch * n * 4   # a, b in; c out, int32
-        detail.update(_roofline(flavor, bf, traffic, med_s))
+        detail.update(_roofline(flavor, bf, traffic, marg_s))
         log(f"[bench] {config}: {100 * detail['roofline_fraction']:.0f}% of "
-            f"{detail['roofline_bound']}-bound roofline ({flavor})")
+            f"{detail['roofline_bound']}-bound roofline ({flavor}"
+            f"{', marginal' if marg_s != med_s else ''})")
     return bf_per_s, detail
 
 
 # (config, batch, inner): inner tuned so compile stays tractable while the
-# ~25 ms dispatch round-trip is amortised
+# dispatch round-trip is amortised; the sweep runs with fit=True so every
+# row also carries the dispatch-free marginal rate
 SWEEP = [("dilithium256", 8192, 256), ("large", 16, 256),
-         ("large23", 16, 256), ("xlarge", 4, 64), ("bigq62", 64, 32),
+         ("large23", 16, 256), ("xlarge", 4, 64), ("bigq62", 256, 16),
+         ("bigq65536", 16, 16), ("bigq1m", 2, 8),
          ("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
          ("kyber_matvec", 2048, 64)]
 
@@ -460,7 +531,9 @@ _BACKEND_LABEL = {
     "pallas": "fused Pallas, packed two-plane",
     "fourstep-pallas": "fused four-step Pallas (single VMEM pass)",
     "fourstep-blocked-pallas": "blocked four-step Pallas (3 gridded kernels)",
-    "bigq-fused-pallas": "ONE Pallas kernel: RNS split + channels + CRT",
+    "bigq-PallasBigQ": "ONE Pallas kernel: RNS split + channels + CRT",
+    "bigq-PallasBigQBlocked": "Pallas split + four-step channels + Garner",
+    "bigq-PallasBigQFourStep": "ONE kernel: split + four-step channels + CRT",
     "xla": "XLA stage-by-stage plan",
     "mxu": "MXU matmul-NTT",
 }
@@ -491,9 +564,12 @@ def readme_table() -> str:
             roof += " ⚠ stale (failed in latest sweep)"
         qb = d["q"]
         q_s = str(qb) if qb < (1 << 24) else f"{qb.bit_length()}-bit"
+        gbf = str(d["gbutterflies_per_s"])
+        if "marginal_gbf" in d:
+            gbf += f" ({d['marginal_gbf']} marginal)"
         lines.append(
             f"| {d['config']} | {d['n']} | {q_s} | {be} | {pm_s} "
-            f"(batch {d['batch']}) | {d['gbutterflies_per_s']} | {roof} |")
+            f"(batch {d['batch']}) | {gbf} | {roof} |")
     return "\n".join(lines)
 
 
@@ -544,7 +620,7 @@ def main():
         for cfg, batch, inner in SWEEP:
             try:
                 _, d = bench_config(cfg, batch, max(5, args.iters // 3),
-                                    args.warmup, inner=inner)
+                                    args.warmup, inner=inner, fit=True)
                 d["ts"] = stamp
             except Exception as e:          # keep sweeping
                 log(f"[bench] {cfg} FAILED: {e}")

@@ -356,11 +356,14 @@ def test_pallas_bigq_blocked_end_to_end(rng):
 
 
 def test_bigq_plan_prefers_fused_kernel_when_supported(monkeypatch):
-    """backend='pallas' wires the fused kernel for supported shapes."""
+    """backend='pallas' wires the right fused kernel per ring size:
+    ONE-kernel PallasBigQ below 4096, the composed all-Pallas blocked
+    pipeline from 4096 up (incl. past the one-block VMEM envelope)."""
+    from tpu_ntt.bigq import PallasBigQBlocked
+    from tpu_ntt.ops.bigq_kernel import PallasBigQ
     p = find_params(256, 45)
     plan = BigQPlan(p, backend="pallas")
-    assert plan.fused_kernel is not None
-    # large n is out of the fused kernel's envelope -> four-step channels
+    assert isinstance(plan.fused_kernel, PallasBigQ)
     p2 = find_params(1 << 14, 45)
     plan2 = BigQPlan(p2, backend="pallas")
-    assert plan2.fused_kernel is None
+    assert isinstance(plan2.fused_kernel, PallasBigQBlocked)

@@ -262,3 +262,83 @@ def test_engine_selftest_on_device(artifact):
     rep = eng.self_test()
     assert rep.ok, str(rep)
     _record(artifact, "engine_selftest", config="sw256", backend=eng.kind)
+
+
+def test_bigq_large_n_on_device(rng, artifact):
+    """BASELINE config 4 evidence: n=2^16 62-bit big-q through the
+    all-Pallas blocked pipeline (split kernel -> per-channel four-step
+    kernels -> Garner kernel) vs the exact sparse oracle on chip."""
+    from tpu_ntt.bigq import BigQPlan, PallasBigQBlocked
+    p = find_params(1 << 16, 62)
+    plan = BigQPlan(p)
+    assert isinstance(plan.fused_kernel, PallasBigQBlocked)
+    rows = 2
+    a = np.stack([_sparse_poly(rng, p.n, p.q) for _ in range(rows)])
+    b = np.stack([_sparse_poly(rng, p.n, p.q) for _ in range(rows)])
+    got = plan.polymul(a.astype(np.uint64), b.astype(np.uint64))
+    for i in range(rows):
+        want = _sparse_negacyclic(a[i], b[i], p.q)
+        np.testing.assert_array_equal(got[i], want)
+    _record(artifact, "bigq_2^16_blocked_vs_sparse_oracle",
+            config="bigq65536", n=p.n, q=int(p.q), rows=rows,
+            channels=len(plan.primes))
+
+
+def test_sharded_one_chip_mesh_on_device(rng, artifact):
+    """ShardedPlan on a 1-chip mesh (D=1 degenerate four-step: the
+    collective schedule with no peers) matches the single-chip plan
+    bit-exactly on real hardware — pins the sharded code path the CPU
+    suite can only interpret."""
+    from tpu_ntt.parallel.sharded import ShardedPlan, make_mesh
+    from tpu_ntt.transform import Plan
+    p = make_params(4096, 12289)
+    sp = ShardedPlan(p, make_mesh(1))
+    plan = Plan(p)
+    a = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    got = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a),
+                                    sp.shard_coeffs(b)))
+    want = np.asarray(plan.polymul_jit(a, b))
+    np.testing.assert_array_equal(got, want)
+    _record(artifact, "sharded_1chip_mesh_vs_plan", n=p.n, q=int(p.q))
+
+
+def test_engine_crossover_dispatch_on_device(rng, artifact):
+    """The engine's backend hand-off points execute correctly on real
+    hardware: flat Pallas at n=8192, four-step past it, big-q RNS for a
+    62-bit modulus — each vs the exact sparse oracle."""
+    from tpu_ntt.runtime.engine import PolyMultEngine
+
+    cases = [
+        (8192, find_params(8192, 27).q, "pallas"),
+        (16384, find_params(16384, 27).q, "fourstep-pallas"),
+    ]
+    for n, q, want_kind in cases:
+        eng = PolyMultEngine(n, q)
+        assert eng.kind == want_kind, (n, eng.kind)
+        a = _sparse_poly(rng, n, q)
+        b = _sparse_poly(rng, n, q)
+        got = np.asarray(eng.multiply(a[None].astype(np.int64),
+                                      b[None].astype(np.int64)))[0]
+        want = _sparse_negacyclic(a, b, q)
+        np.testing.assert_array_equal(got.astype(np.uint64), want)
+        _record(artifact, "engine_crossover", n=n, q=int(q),
+                backend=eng.kind)
+
+
+def test_fused_matvec_on_device(rng, artifact):
+    """The one-kernel module product (ML-DSA pattern) vs the XLA plan
+    on chip, f32-Barrett flavor."""
+    from tpu_ntt.ops.matvec import PallasMatvec
+    from tpu_ntt.transform import Plan
+    p = preset("dilithium256")
+    mv = PallasMatvec(p)
+    plan = Plan(p)
+    r, c = 4, 4
+    A = rng.integers(0, p.q, (8, r, c, p.n)).astype(np.int32)
+    s = rng.integers(0, p.q, (8, c, p.n)).astype(np.int32)
+    got = np.asarray(mv.matvec(A, s))
+    want = np.asarray(plan.matvec_jit(A, s))
+    np.testing.assert_array_equal(got, want)
+    _record(artifact, "fused_matvec_vs_plan", config="dilithium256",
+            r=r, c=c)

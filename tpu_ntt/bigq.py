@@ -451,23 +451,29 @@ class BigQPlan:
             # channels run as fused Pallas kernels; the jnp fallback covers
             # CPU (and remains the cross-check in tests).
             if backend == "pallas":
-                from .ops import bigq_fourstep, bigq_kernel
+                from .ops import bigq_kernel
                 if (n >= 4096
-                        and bigq_fourstep.supported(n, self.primes, q)):
-                    # ONE kernel with four-step channel geometry: short
-                    # rolls on both axes (the flat kernel's n/2-lane
-                    # rolls dominate past n≈2048)
-                    self.fused_kernel = bigq_fourstep.PallasBigQFourStep(
+                        and PallasBigQBlocked.supported(n, self.primes,
+                                                        q)):
+                    # Pallas split -> per-channel four-step kernels ->
+                    # Pallas Garner: four-step channel geometry (short
+                    # rolls on both axes; the flat kernel's n/2-lane
+                    # rolls dominate past n≈2048) from a handful of
+                    # small kernels that each compile in seconds.  The
+                    # monolithic alternative (ops/bigq_fourstep fuses
+                    # the same pipeline into ONE kernel) saves ~6x HBM
+                    # plane-traffic but its 5-channel unrolled body
+                    # compiles pathologically slowly (>10 min via the
+                    # remote-compile tunnel vs ~10 s for these pieces),
+                    # and both are compute-bound at these shapes — so
+                    # the composed form is the default.
+                    self.fused_kernel = PallasBigQBlocked(
                         n, self.primes, q)
                 elif bigq_kernel.supported(n, self.primes, q):
-                    # the whole product (split + channels + Garner CRT)
-                    # in ONE Pallas kernel: 6 HBM plane-touches total
+                    # small rings: the whole product (split + channels +
+                    # Garner CRT) in ONE Pallas kernel, 6 HBM
+                    # plane-touches total
                     self.fused_kernel = bigq_kernel.PallasBigQ(
-                        n, self.primes, q)
-                elif PallasBigQBlocked.supported(n, self.primes, q):
-                    # past the one-block VMEM envelope: Pallas split ->
-                    # per-channel blocked four-step -> Pallas Garner
-                    self.fused_kernel = PallasBigQBlocked(
                         n, self.primes, q)
                 self.stacked = (FourStepChannelPlan(n, self.primes)
                                 if n > 8192
