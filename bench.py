@@ -307,7 +307,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             tw_bytes = 2 * k * p.log2n * (n // 2) * 4
             planes = 6 if type(kb).__name__ == "PallasBigQ" else 6 + 6 * k
             traffic = inner * (batch * n * 4 * planes + tw_bytes)
-        elif plan.dcrt is not None:
+        elif plan.dcrt is not None and plan.stacked is not None:
             # fully device-resident pipeline: chain packed-plane products
             # (output planes feed back as the next multiplicand)
             from tpu_ntt.ops.limb import pack_u64_planes
@@ -330,14 +330,22 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             pa = tuple(jnp.asarray(t) for t in pack_u64_planes(ah))
             pb = tuple(jnp.asarray(t) for t in pack_u64_planes(bh))
             fn = lambda: fn_c(pa, pb)
-            check_fn = lambda: _HostResult(plan.polymul(ah, bh))
         else:
-            inner = 1                        # host CRT path: no device chain
+            # mesh / host-CRT paths: no device chain; polymul handles
+            # every remaining plan configuration itself
+            inner = 1
             fn = lambda: _HostResult(plan.polymul(ah, bh))
+        if n > 8192:
+            # schoolbook check is O(n^2) python-int work — use the exact
+            # sparse oracle for large rings on every path
+            def custom_check():
+                _sparse_bigq_check(plan, n, q, rng)
+        elif "check_fn" not in locals():
+            check_fn = lambda: _HostResult(plan.polymul(ah, bh))
         if plan.fused_kernel is None:
             k = len(plan.primes)
             bf = inner * k * _butterflies(n, p.log2n, batch)
-            if plan.dcrt is not None:
+            if plan.dcrt is not None and plan.stacked is not None:
                 flavor = "mont"              # 29-bit RNS channel primes
                 # packed planes in/out (6) + split writes / kernel
                 # reads+writes / CRT reads of the k residue planes (6k)
@@ -626,12 +634,17 @@ def main():
                 log(f"[bench] {cfg} FAILED: {e}")
                 if cfg in by_cfg:
                     details[by_cfg[cfg]]["stale"] = True
-                continue
-            if cfg in by_cfg:
-                details[by_cfg[cfg]] = d
-            else:
-                by_cfg[cfg] = len(details)
-                details.append(d)
+                d = None
+            if d is not None:
+                if cfg in by_cfg:
+                    details[by_cfg[cfg]] = d
+                else:
+                    by_cfg[cfg] = len(details)
+                    details.append(d)
+            # persist after EVERY config — success or failure — so
+            # stale-flagging and removed-config filtering always reach
+            # the artifact (a trailing failure must not leave the old
+            # row rendered as current)
             try:
                 with open("BENCH_SWEEP.json", "w") as f:
                     json.dump(details, f, indent=1)

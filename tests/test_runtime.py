@@ -234,6 +234,11 @@ def test_engine_multiply_batch_checkpointed(tmp_path, rng, monkeypatch):
     done_before = len(list(CheckpointedRun(tmp_path / "job", total=10,
                                            chunk=3).pending()))
     assert 0 < done_before < 4
+    # resuming with DIFFERENT inputs of the same shape must refuse —
+    # stale chunks from the old data would silently corrupt the result
+    a2 = (a + 1) % 12289
+    with pytest.raises(ValueError, match="fingerprint"):
+        eng.multiply_batch(tmp_path / "job", a2, b, chunk=3, attempts=1)
     c = eng.multiply_batch(tmp_path / "job", a, b, chunk=3, attempts=1)
     np.testing.assert_array_equal(c, want)
 

@@ -475,9 +475,16 @@ class BigQPlan:
                     # plane-touches total
                     self.fused_kernel = bigq_kernel.PallasBigQ(
                         n, self.primes, q)
-                self.stacked = (FourStepChannelPlan(n, self.primes)
-                                if n > 8192
-                                else PallasChannelPlan(n, self.primes))
+                if isinstance(self.fused_kernel, PallasBigQBlocked):
+                    # reuse the blocked pipeline's channel plans rather
+                    # than building a duplicate FourStepChannelPlan (its
+                    # per-channel kernels + n-scale twist tables are
+                    # expensive to construct twice)
+                    self.stacked = self.fused_kernel.channels
+                else:
+                    self.stacked = (FourStepChannelPlan(n, self.primes)
+                                    if n > 8192
+                                    else PallasChannelPlan(n, self.primes))
             else:
                 self.stacked = StackedChannelPlan(n, self.primes)
             self.channel_plans = []

@@ -51,7 +51,10 @@ def supported(n: int, primes, q: int, tile: int | None = None) -> bool:
     """Four-step channel geometry + VMEM budget + the shared exactness
     preconditions (q <= 62 bits, prod(p) > 2·n·(q-1)²)."""
     primes = [int(p) for p in primes]
-    if not all((1 << 16) < p < (1 << 29) and p % 2 == 1 for p in primes):
+    # (1<<23) lower bound: the kernel's channel arithmetic is Montgomery
+    # flavor; smaller primes would build f32-flavor PallasFourStep tables
+    # and trip the constructor's flavor assert
+    if not all((1 << 23) <= p < (1 << 29) and p % 2 == 1 for p in primes):
         return False
     if int(q).bit_length() > 62:
         return False
@@ -59,7 +62,7 @@ def supported(n: int, primes, q: int, tile: int | None = None) -> bool:
         return False
     if n < 2048 or n > (1 << 15):
         return False
-    if not all(_fs_supported(make_params(n, p)) for p in primes[:1]):
+    if not all(_fs_supported(make_params(n, p)) for p in primes):
         return False
     tile = tile if tile is not None else _default_tile(n)
     # live full-size (tile, n1, n2) planes: 4 in + 2 out + k channel

@@ -1587,11 +1587,15 @@ class PallasIncompletePolymul:
         check_domain(b, self.q, "polymul_cm b")
         return self._full_cm(jnp.asarray(a), jnp.asarray(b))
 
-    @functools.lru_cache(maxsize=None)
     def _matvec_call(self, r: int, c: int):
         """Jitted fused module-product kernel for a static (r, c) shape.
         Takes cm-stacked blocks: A (r·c·n, batch), s (c·n, batch) ->
-        (r·n, batch)."""
+        (r·n, batch).  Memoized per instance (a method lru_cache would
+        pin self in a class-level cache for the process lifetime)."""
+        cache = self.__dict__.setdefault("_matvec_calls", {})
+        hit = cache.get((r, c))
+        if hit is not None:
+            return hit
         if not (self.packed and self.cm):
             raise ValueError("matvec kernel needs layout='cm', packed")
         n = self.n
@@ -1639,7 +1643,9 @@ class PallasIncompletePolymul:
             out = call(A.T, s.T).T[:batch]
             return out.reshape(*lead, r, n)
 
-        return jax.jit(full)
+        jitted = jax.jit(full)
+        cache[(r, c)] = jitted
+        return jitted
 
     def matvec(self, A, s):
         """Module product A (..., r, c, n) × s (..., c, n) -> (..., r, n)

@@ -171,6 +171,7 @@ class PallasMatvec:
             params, inverse=False, flavor=self.flavor)
         self._twi, self._twish = _packed_stage_tables(
             params, inverse=True, flavor=self.flavor)
+        self._calls: dict[tuple[int, int], object] = {}
 
     def supported_shape(self, r: int, c: int) -> bool:
         # accumulate fold chain is exact for any c (sum < 2^31 needs
@@ -182,8 +183,13 @@ class PallasMatvec:
         planes = 2 * r * c + 2 * c + 2 * r + 10
         return planes * n * 4 * 128 < (14 << 20)
 
-    @functools.lru_cache(maxsize=None)
     def _matvec_call(self, r: int, c: int):
+        # per-instance memo (an lru_cache on the method would key a
+        # class-level cache on self and pin every instance for the
+        # process lifetime)
+        hit = self._calls.get((r, c))
+        if hit is not None:
+            return hit
         n = self.params.n
         planes = 2 * r * c + 2 * c + 2 * r + 10
         tile = max(128, (12 << 20) // (planes * n * 4) // 128 * 128)
@@ -222,7 +228,9 @@ class PallasMatvec:
             out = call(A.T, s.T).T[:batch]
             return out.reshape(*lead, r, n)
 
-        return jax.jit(full)
+        jitted = jax.jit(full)
+        self._calls[(r, c)] = jitted
+        return jitted
 
     def matvec(self, A, s):
         """Module product A (..., r, c, n) × s (..., c, n) -> (..., r, n),

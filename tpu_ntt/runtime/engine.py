@@ -195,12 +195,22 @@ class PolyMultEngine:
         or wedged job resumes from the last complete chunk instead of
         restarting (SURVEY.md §5 checkpoint/resume + failure detection,
         wired together at the engine level)."""
+        import hashlib
+
         from ..utils.checkpoint import CheckpointedRun
         a = np.atleast_2d(a)
         b = np.atleast_2d(b)
         if a.shape != b.shape:
             raise ValueError("operand batches must have the same shape")
-        run = CheckpointedRun(directory, total=a.shape[0], chunk=chunk)
+        # bind the checkpoint directory to THESE inputs and params:
+        # resuming with different data of the same shape must fail loudly
+        # instead of mixing stale chunks into the result
+        h = hashlib.sha256()
+        h.update(f"n={self.n} q={self.q}".encode())
+        h.update(np.ascontiguousarray(a))
+        h.update(np.ascontiguousarray(b))
+        run = CheckpointedRun(directory, total=a.shape[0], chunk=chunk,
+                              fingerprint=h.hexdigest())
         for lo, hi in run.pending():
             run.complete(lo, hi, self.multiply_robust(
                 a[lo:hi], b[lo:hi], deadline_s=deadline_s,

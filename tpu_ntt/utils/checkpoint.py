@@ -36,10 +36,12 @@ class CheckpointedRun:
     >>> c = run.gather()
     """
 
-    def __init__(self, directory, total: int, chunk: int):
+    def __init__(self, directory, total: int, chunk: int,
+                 fingerprint: str | None = None):
         self.dir = pathlib.Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.total, self.chunk = total, chunk
+        self.fingerprint = fingerprint
         self.manifest = self.dir / "manifest.json"
         self._done = self._load_manifest()
 
@@ -49,12 +51,20 @@ class CheckpointedRun:
             if meta["total"] != self.total or meta["chunk"] != self.chunk:
                 raise ValueError("manifest disagrees with job shape — "
                                  "refusing to resume into a different job")
+            if (self.fingerprint is not None
+                    and meta.get("fingerprint") not in (None,
+                                                        self.fingerprint)):
+                raise ValueError(
+                    "manifest fingerprint disagrees — the checkpoint "
+                    "directory holds chunks from DIFFERENT inputs/params; "
+                    "refusing to mix stale results into this job")
             return set(meta["done"])
         return set()
 
     def _save_manifest(self) -> None:
         self.manifest.write_text(json.dumps(
             {"total": self.total, "chunk": self.chunk,
+             "fingerprint": self.fingerprint,
              "done": sorted(self._done)}))
 
     def pending(self):
