@@ -173,7 +173,49 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     traffic = None                # HBM bytes per timed call (default below)
     mk_fn = None                  # inner -> zero-arg timed fn (fit mode)
 
-    if config == "kyber_matvec":             # ML-KEM A_hat·s_hat, k=3
+    if config == "dilithium_matvec":         # ML-DSA A_hat·s_hat, 4x4
+        n, q = 256, 8380417
+        r = c = 4
+        A = jnp.asarray(rng.integers(0, q, (batch, r, c, n)), jnp.int32)
+        s = jnp.asarray(rng.integers(0, q, (batch, c, n)), jnp.int32)
+        on_tpu = jax.devices()[0].platform != "cpu"
+        if backend in ("auto", "pallas") and on_tpu:
+            from tpu_ntt.ops.matvec import PallasMatvec
+            from tpu_ntt.params import preset as _preset
+            plan = PallasMatvec(_preset("dilithium256"))
+            mv = plan.matvec
+            flavor = "f32"
+            backend = "matvec-pallas"
+        else:
+            from tpu_ntt.params import preset as _preset
+            plan = Plan(_preset("dilithium256"))
+            mv = plan.matvec_jit
+
+        def mk_fn(iv):
+            def chained(A_, s_):
+                def body(_, sv):
+                    return mv(A_, sv)
+                out = jax.lax.fori_loop(0, iv, body, s_)
+                return out, jnp.max(out)
+            fn_c = jax.jit(chained)
+            return lambda: fn_c(A, s)
+
+        fn = mk_fn(inner)
+        # r·c matrix + c vector transforms + r inverses per matvec
+        bf = inner * batch * (r * c + r + c) * (n // 2) * 8
+        traffic = inner * batch * (r * c + 2 * c + r) * n * 4
+
+        def custom_check():
+            out = np.asarray(_sync(_HostResult(mv(A[:1], s[:1]))))
+            for i in range(r):
+                want = np.zeros(n, dtype=np.int64)
+                for j in range(c):
+                    want = (want + ref.schoolbook_negacyclic(
+                        np.asarray(A[0, i, j]).astype(object),
+                        np.asarray(s[0, j]).astype(object), q)) % q
+                if not np.array_equal(out[0, i].astype(np.int64), want):
+                    raise AssertionError(f"matvec row {i} mismatch")
+    elif config == "kyber_matvec":           # ML-KEM A_hat·s_hat, k=3
         n, q, k = 256, 3329, 3
         A = jnp.asarray(rng.integers(0, q, (batch, k, k, n)), jnp.int32)
         s = jnp.asarray(rng.integers(0, q, (batch, k, n)), jnp.int32)
@@ -502,7 +544,7 @@ SWEEP = [("dilithium256", 8192, 256), ("large", 16, 256),
          ("large23", 16, 256), ("xlarge", 4, 64), ("bigq62", 256, 16),
          ("bigq65536", 16, 16), ("bigq1m", 2, 8),
          ("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
-         ("kyber_matvec", 2048, 64)]
+         ("kyber_matvec", 2048, 64), ("dilithium_matvec", 1024, 64)]
 
 # backend matrix for the "one truth table": the same configs through every
 # implementation so the auto choice is a measurement, not a belief.
@@ -542,6 +584,7 @@ _BACKEND_LABEL = {
     "bigq-PallasBigQ": "ONE Pallas kernel: RNS split + channels + CRT",
     "bigq-PallasBigQBlocked": "Pallas split + four-step channels + Garner",
     "bigq-PallasBigQFourStep": "ONE kernel: split + four-step channels + CRT",
+    "matvec-pallas": "fused module-product kernel",
     "xla": "XLA stage-by-stage plan",
     "mxu": "MXU matmul-NTT",
 }
