@@ -47,10 +47,14 @@ OPS_PER_BUTTERFLY = {"shoup": 20.0, "f32": 26.0, "mont": 34.0}
 
 
 def _roofline(flavor: str, bf: float, traffic_bytes: float,
-              measured_s: float) -> dict:
+              measured_s: float, extra_ops: float = 0.0) -> dict:
+    """``extra_ops``: lane-ops the kernel performs that are NOT butterfly
+    work (e.g. the incomplete-NTT base-case product) — included in the
+    compute bound so fractions stay honest for kernels whose non-butterfly
+    work is substantial."""
     from tpu_ntt.utils.profiling import (DEFAULT_HBM_BYTES,
                                          DEFAULT_VPU_INT_OPS)
-    t_c = OPS_PER_BUTTERFLY[flavor] * bf / DEFAULT_VPU_INT_OPS
+    t_c = (OPS_PER_BUTTERFLY[flavor] * bf + extra_ops) / DEFAULT_VPU_INT_OPS
     t_m = traffic_bytes / DEFAULT_HBM_BYTES
     return {"flavor": flavor,
             "roofline_bound": "compute" if t_c >= t_m else "hbm",
@@ -172,6 +176,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     flavor = None                 # set on fused-kernel paths -> roofline
     traffic = None                # HBM bytes per timed call (default below)
     mk_fn = None                  # inner -> zero-arg timed fn (fit mode)
+    extra_ops = 0.0               # non-butterfly lane-ops in the bound
 
     if config == "dilithium_matvec":         # ML-DSA A_hat·s_hat, 4x4
         n, q = 256, 8380417
@@ -292,6 +297,10 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             fn = mk_fn(inner)
         check_fn = lambda: check(a, b)
         bf = inner * 3 * batch * 2 * (128 // 2) * 7   # 2 size-128 sub-NTTs
+        # basemul (2 mul_lazy + 3 pair_swaps + shoup + folds ~= 47
+        # lane-ops/slot) + final scale (~8/slot) are NOT butterflies —
+        # count them into the compute bound
+        extra_ops = inner * batch * n * (47 + 8)
     elif config.startswith("bigq"):          # RNS channels + CRT
         # bigq62: n=4096 (ONE-kernel or composed pipeline per BigQPlan's
         # auto choice); bigq65536 / bigq1m: BASELINE config 4's large
@@ -530,7 +539,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     if flavor is not None:
         if traffic is None:
             traffic = inner * 3 * batch * n * 4   # a, b in; c out, int32
-        detail.update(_roofline(flavor, bf, traffic, marg_s))
+        detail.update(_roofline(flavor, bf, traffic, marg_s,
+                                extra_ops=extra_ops))
         log(f"[bench] {config}: {100 * detail['roofline_fraction']:.0f}% of "
             f"{detail['roofline_bound']}-bound roofline ({flavor}"
             f"{', marginal' if marg_s != med_s else ''})")
