@@ -129,16 +129,19 @@ def _chain(polymul_fn, inner: int):
     return jax.jit(chained)
 
 
-def _sparse_bigq_check(plan, n, q, rng, nnz=25):
-    """Exact sparse-oracle correctness check for large-ring big-q (the
-    schoolbook oracle is O(n²) python-int work — infeasible past ~2^13)."""
-    a = np.zeros((1, n), dtype=np.uint64)
-    b = np.zeros((1, n), dtype=np.uint64)
+def _sparse_check(mul, n, q, rng, nnz=25, dtype=np.uint64):
+    """Exact sparse-oracle correctness check for large rings (the dense
+    schoolbook oracle is O(n²) — n=2^20 would take hours of host CPU,
+    which is what silently kept the xlarge row out of every previous
+    sweep).  ``mul`` maps two (1, n) coefficient arrays to their
+    negacyclic product."""
+    a = np.zeros((1, n), dtype=dtype)
+    b = np.zeros((1, n), dtype=dtype)
     ia = rng.integers(0, n, nnz)
     ib = rng.integers(0, n, nnz)
-    a[0, ia] = rng.integers(0, q, nnz).astype(np.uint64)
-    b[0, ib] = rng.integers(0, q, nnz).astype(np.uint64)
-    c = plan.polymul(a, b)
+    a[0, ia] = rng.integers(0, q, nnz).astype(dtype)
+    b[0, ib] = rng.integers(0, q, nnz).astype(dtype)
+    c = np.asarray(mul(a, b))
     want = {}
     for i in np.unique(ia):
         for j in np.unique(ib):
@@ -147,7 +150,11 @@ def _sparse_bigq_check(plan, n, q, rng, nnz=25):
             want[int(k2)] = (want.get(int(k2), 0) + s * t) % q
     got = {int(kk): int(c[0, kk]) for kk in np.nonzero(c[0])[0]}
     if got != {kk: v for kk, v in want.items() if v}:
-        raise AssertionError("bigq sparse-oracle mismatch")
+        raise AssertionError("sparse-oracle mismatch")
+
+
+def _sparse_bigq_check(plan, n, q, rng, nnz=25):
+    _sparse_check(plan.polymul, n, q, rng, nnz)
 
 
 def bench_config(config: str, batch: int, iters: int, warmup: int,
@@ -347,14 +354,36 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             k = len(plan.primes)
             bf = inner * k * _butterflies(n, p.log2n, batch)
             flavor = "mont"
+            # Non-butterfly lane-ops per OUTPUT COEFFICIENT (counted from
+            # ops/bigq_kernel.py; OPS_PER_BUTTERFLY covers only the
+            # channel-NTT butterflies, but for RNS pipelines the split /
+            # twist / pointwise / Garner work is comparable to the
+            # butterfly work and belongs in an honest compute bound):
+            #   chunks       2 operands x 6 shift/mask ops          = 12
+            #   residue      2 x k x (3 Montgomery muls ~18 + 4 add)
+            #   twist        3 x k muls (four-step geometry only: fwd
+            #                twist on both operands + inverse twist)
+            #   pointwise    k muls
+            #   Garner: mixed-radix digits  k(k+1)/2 muls + ~2k^2 adds
+            #           sign half-compare   ~4k
+            #           limb accumulate     (2k+1) terms x ~7 limbs x 5
+            #           carry + pack        ~30
+            #           Barrett mod-q       ~60 (T, qhat, qhat*q,
+            #                               subtract) + 2 conditional-
+            #                               subtract rounds x ~6 x 7
+            mul_ops = 18                      # digit-serial Montgomery
+            garner_ops = (k * (k + 1) // 2 * mul_ops + 2 * k * k
+                          + 4 * k + (2 * k + 1) * 7 * 5 + 30
+                          + 60 + 2 * 6 * 7)
+            fourstep_geom = type(kb).__name__ != "PallasBigQ"
+            per_coeff = (12 + 2 * k * (3 * mul_ops + 8)
+                         + (3 * k * mul_ops if fourstep_geom else 0)
+                         + k * mul_ops + garner_ops)
+            extra_ops = inner * batch * n * per_coeff
             # HBM plane-traffic per chained product: the ONE-kernel form
             # touches 6 coefficient planes + its twiddle tables; the
             # composed (blocked) pipeline streams 6 + 6k plane-passes
-            # (split 4+2k, channel kernels 3k, Garner k+2).  The split
-            # and Garner lane-ops are NOT in the compute-side bound
-            # (OPS_PER_BUTTERFLY counts channel-NTT butterflies only), so
-            # the compute fraction reported for this backend is
-            # conservative.
+            # (split 4+2k, channel kernels 3k, Garner k+2).
             tw_bytes = 2 * k * p.log2n * (n // 2) * 4
             planes = 6 if type(kb).__name__ == "PallasBigQ" else 6 + 6 * k
             traffic = inner * (batch * n * 4 * planes + tw_bytes)
@@ -432,7 +461,13 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             mk_fn = lambda iv: (
                 lambda f=_chain(plan.polymul, iv): f(a, b))
             fn = mk_fn(inner)
-            check_fn = lambda: plan.polymul(a, b)
+            mul = plan.polymul
+
+            def custom_check(mul=mul, n=n, q=q):
+                _sparse_check(
+                    lambda x, y: mul(jnp.asarray(x.astype(np.int32)),
+                                     jnp.asarray(y.astype(np.int32))),
+                    n, q, rng)
         else:
             # XLA four-step (ShardedPlan on a 1-device mesh)
             from tpu_ntt.parallel.sharded import ShardedPlan, make_mesh
@@ -442,7 +477,14 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             mk_fn = lambda iv: (
                 lambda f=_chain(plan.polymul_jit, iv): f(a, b))
             fn = mk_fn(inner)
-            check_fn = lambda: plan.polymul_jit(a, b)
+            mul2 = plan
+
+            def custom_check(plan=mul2, n=n, q=q):
+                _sparse_check(
+                    lambda x, y: plan.unshard(plan.polymul_jit(
+                        plan.shard_coeffs(x.astype(np.int64)),
+                        plan.shard_coeffs(y.astype(np.int64)))),
+                    n, q, rng)
         bf = inner * _butterflies(n, p.log2n, batch)
     else:                                    # preset name: sw256/hw256/...
         p = preset(config)
@@ -527,14 +569,38 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         inner2 = inner // 4
         fn2 = mk_fn(inner2)
         _sync(fn2())              # compile
-        med2, _, _ = _timeit(fn2, iters, warmup)
-        slope = (med_s - med2) / (inner - inner2)
+        med2, _, min2 = _timeit(fn2, iters, warmup)
+        # Relay stalls are one-sided noise (a dispatch occasionally
+        # stalls for tens of ms but is never early), so MIN times are
+        # the clean estimator for the fit — a single stalled median at
+        # either chain length otherwise swings the slope wildly and can
+        # produce physically impossible marginal rates (>100% of the
+        # compute bound).
+        slope = (min_s - min2) / (inner - inner2)
         if slope > 0:
-            marg_s = slope * inner
-            detail["fixed_ms"] = round((med_s - marg_s) * 1e3, 3)
-            detail["marginal_gbf"] = round(bf / marg_s / 1e9, 2)
-            log(f"[bench] {config}: fit fixed={detail['fixed_ms']} ms, "
-                f"marginal {detail['marginal_gbf']} G butterflies/s")
+            cand = slope * inner
+            if flavor is not None:
+                # sanity-gate against the compute bound: a fitted
+                # marginal faster than speed-of-light means the two
+                # chain runs saw different relay weather — fall back to
+                # the end-to-end median and say so rather than publish
+                # an impossible number
+                from tpu_ntt.utils.profiling import DEFAULT_VPU_INT_OPS
+                t_c = (OPS_PER_BUTTERFLY[flavor] * bf + extra_ops) \
+                    / DEFAULT_VPU_INT_OPS
+                if cand < t_c:
+                    detail["fit_unstable"] = True
+                    log(f"[bench] {config}: fit unstable (marginal "
+                        f"{bf / cand / 1e9:.1f} G exceeds the "
+                        f"compute bound) — using end-to-end median")
+                    cand = None
+            if cand is not None:
+                marg_s = cand
+                detail["fixed_ms"] = round((min_s - marg_s) * 1e3, 3)
+                detail["marginal_gbf"] = round(bf / marg_s / 1e9, 2)
+                log(f"[bench] {config}: fit fixed="
+                    f"{detail['fixed_ms']} ms, marginal "
+                    f"{detail['marginal_gbf']} G butterflies/s")
 
     if flavor is not None:
         if traffic is None:
@@ -549,11 +615,15 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
 # (config, batch, inner): inner tuned so compile stays tractable while the
 # dispatch round-trip is amortised; the sweep runs with fit=True so every
-# row also carries the dispatch-free marginal rate
-SWEEP = [("dilithium256", 8192, 256), ("large", 16, 256),
-         ("large23", 16, 256), ("xlarge", 4, 64), ("bigq62", 256, 16),
+# row also carries the dispatch-free marginal rate.  Ordered by evidential
+# priority (headline, then the BASELINE-config-4 big-q rings, then the
+# scheme kernels) so a sweep cut short by tunnel outages still refreshes
+# the rows that matter most first.
+SWEEP = [("sw256", 8192, 512), ("bigq62", 256, 16),
          ("bigq65536", 16, 16), ("bigq1m", 2, 8),
-         ("sw256", 8192, 512), ("hw256", 8192, 512), ("kyber", 8192, 256),
+         ("kyber", 8192, 256), ("dilithium256", 8192, 256),
+         ("large", 16, 256), ("large23", 16, 256), ("xlarge", 4, 64),
+         ("hw256", 8192, 512),
          ("kyber_matvec", 2048, 64), ("dilithium_matvec", 1024, 64)]
 
 # backend matrix for the "one truth table": the same configs through every

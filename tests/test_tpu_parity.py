@@ -9,7 +9,7 @@ Run with::
     TPU_NTT_TEST_TPU=1 python -m pytest tests/ -m tpu -q
 
 Skipped entirely in the default CPU session.  On success the module writes
-a per-round artifact (default ``PARITY_TPU_r02.json``, override with
+a per-round artifact (default ``PARITY_TPU_r03.json``, override with
 ``TPU_NTT_PARITY_OUT``) recording every bit-exactness check and the device
 it ran on.
 """
@@ -53,7 +53,7 @@ def artifact():
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "checks": entries,
     }
-    out = os.environ.get("TPU_NTT_PARITY_OUT", "PARITY_TPU_r02.json")
+    out = os.environ.get("TPU_NTT_PARITY_OUT", "PARITY_TPU_r03.json")
     (_REPO / out).write_text(json.dumps(payload, indent=1))
 
 

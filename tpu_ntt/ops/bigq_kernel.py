@@ -198,9 +198,26 @@ def _make_garner(primes: list[int], q: int):
     acc_limbs = Lq + 2
     ub = n_terms * (1 << _B) * (q - 1)
     assert ub < 1 << (_B * acc_limbs)
-    J = max(0, (ub // q).bit_length())
-    red_width = max(acc_limbs, -(-(q.bit_length() + J) // _B))
-    sub_tabs = [_to_limbs(q << j, red_width) for j in range(J + 1)]
+    red_width = acc_limbs
+    # Barrett quotient estimate for the final S mod q reduction.  The
+    # restoring shift-subtract ladder this replaces needed
+    # bitlen(ub//q) ~ 19+ conditional-subtract rounds over all limbs —
+    # the single most expensive block in the CRT (measured ~30% of the
+    # whole big-q non-butterfly budget).  Instead: with t = bitlen(q),
+    # T = S >> (t-1)  (T < n_terms·2^16 <= 2^21 for k <= 15),
+    # mu = floor(2^(t-1+21) / q)  (< 2^21 since q >= 2^(t-1)),
+    # qhat = floor(T·mu / 2^21)  satisfies  floor(S/q) - 2 <= qhat
+    # <= floor(S/q)   [r/q < 1 and T/2^21 < 1 error terms], so
+    # R = S - qhat·q ∈ [0, 4q) and TWO conditional-subtract rounds
+    # (2q then q) finish the job.
+    t_q = q.bit_length()
+    assert n_terms << 16 <= 1 << 21, "Barrett T-width bound needs k <= 15"
+    mu = (1 << (t_q - 1 + 21)) // q
+    mu1, mu0 = np.int32(mu >> _B), np.int32(mu & _M15)
+    # T = S >> (t_q - 1): which limbs contribute which shifts
+    t_shift = divmod(t_q - 1, _B)            # (limb index a, bit offset b)
+    q_limbs = [np.int32(c) for c in _to_limbs(q, Lq)]
+    sub_tabs = [_to_limbs(q << j, red_width) for j in range(2)]
 
     def garner(prods_plane):
         # mixed-radix digits v_j (canonical per channel)
@@ -251,7 +268,44 @@ def _make_garner(primes: list[int], q: int):
             planes[j + 1] = planes[j + 1] + c
         planes = planes + [jnp.zeros_like(planes[0])
                            for _ in range(red_width - len(planes))]
-        for j in range(J, -1, -1):
+
+        # Barrett: T = S >> (t_q-1) from the (up to three) limbs that
+        # carry bits t_q-1 .. t_q+20
+        a_l, b_off = t_shift
+        T = planes[a_l] >> b_off
+        if a_l + 1 < red_width:
+            T = T | (planes[a_l + 1] << (_B - b_off))
+        if a_l + 2 < red_width and _B - b_off + _B < 21:
+            T = T | (planes[a_l + 2] << (2 * _B - b_off))
+        # qhat = floor(T·mu / 2^21), exact via 15-bit limb products
+        t1, t0 = T >> _B, T & m15
+        hi = t1 * mu1
+        mid = t1 * mu0 + t0 * mu1
+        low = t0 * mu0 + ((mid & jnp.int32(63)) << _B)
+        qhat = (hi << 9) + (mid >> 6) + (low >> 21)
+        # R = S - qhat·q over limbs (qhat < 2^20: two 15-bit halves)
+        qh, q0h = qhat >> _B, qhat & m15
+        sub = [jnp.zeros_like(planes[0]) for _ in range(red_width)]
+        for l, ql in enumerate(q_limbs):
+            p0 = q0h * ql
+            sub[l] = sub[l] + (p0 & m15)
+            sub[l + 1] = sub[l + 1] + (p0 >> _B)
+            p1 = qh * ql
+            sub[l + 1] = sub[l + 1] + (p1 & m15)
+            if l + 2 < red_width:
+                sub[l + 2] = sub[l + 2] + (p1 >> _B)
+        for l in range(red_width - 1):           # normalise to 15-bit
+            c = sub[l] >> _B
+            sub[l] = sub[l] & m15
+            sub[l + 1] = sub[l + 1] + c
+        borrow = jnp.zeros_like(planes[0])
+        out_planes = []
+        for l in range(red_width):
+            d = planes[l] - sub[l] - borrow
+            borrow = (d >> 31) & 1
+            out_planes.append(d + (borrow << _B))
+        planes = out_planes                       # R ∈ [0, 4q) exact
+        for j in (1, 0):                          # subtract 2q, then q
             tab = sub_tabs[j]
             diff = []
             borrow = jnp.zeros_like(planes[0])
