@@ -51,14 +51,33 @@ def _roofline(flavor: str, bf: float, traffic_bytes: float,
     """``extra_ops``: lane-ops the kernel performs that are NOT butterfly
     work (e.g. the incomplete-NTT base-case product) — included in the
     compute bound so fractions stay honest for kernels whose non-butterfly
-    work is substantial."""
+    work is substantial.
+
+    Two fractions are reported when a CALIBRATION.json exists:
+    ``roofline_fraction`` judges against the op-count MODEL (spec-sheet
+    VPU rate x per-flavor op weights), ``pe_fraction`` against the
+    MEASURED butterfly-only kernel ceiling of this device+compiler
+    (utils/calibrate.butterfly_ceiling — the PE x f_clk analog;
+    equivalent-butterfly basis: extra_ops are converted to butterflies
+    at the flavor's op weight)."""
     from tpu_ntt.utils.profiling import (DEFAULT_HBM_BYTES,
                                          DEFAULT_VPU_INT_OPS)
     t_c = (OPS_PER_BUTTERFLY[flavor] * bf + extra_ops) / DEFAULT_VPU_INT_OPS
     t_m = traffic_bytes / DEFAULT_HBM_BYTES
-    return {"flavor": flavor,
-            "roofline_bound": "compute" if t_c >= t_m else "hbm",
-            "roofline_fraction": round(max(t_c, t_m) / measured_s, 3)}
+    out = {"flavor": flavor,
+           "roofline_bound": "compute" if t_c >= t_m else "hbm",
+           "roofline_fraction": round(max(t_c, t_m) / measured_s, 3)}
+    try:
+        from tpu_ntt.utils.calibrate import load_calibration
+        cal = load_calibration()
+        ceil = cal.get("stage_ceiling",
+                       cal["pe_ceiling"])[flavor]["gbf_per_s"] * 1e9
+        eq_bf = bf + extra_ops / OPS_PER_BUTTERFLY[flavor]
+        t_pe = max(eq_bf / ceil, t_m)
+        out["pe_fraction"] = round(t_pe / measured_s, 3)
+    except (TypeError, KeyError):
+        pass
+    return out
 
 
 def log(*a):
@@ -580,19 +599,31 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         if slope > 0:
             cand = slope * inner
             if flavor is not None:
-                # sanity-gate against the compute bound: a fitted
-                # marginal faster than speed-of-light means the two
-                # chain runs saw different relay weather — fall back to
-                # the end-to-end median and say so rather than publish
-                # an impossible number
-                from tpu_ntt.utils.profiling import DEFAULT_VPU_INT_OPS
-                t_c = (OPS_PER_BUTTERFLY[flavor] * bf + extra_ops) \
-                    / DEFAULT_VPU_INT_OPS
-                if cand < t_c:
+                # sanity-gate against the MEASURED stage speed-of-light
+                # (calibrate.butterfly_ceiling with repack): a fitted
+                # marginal meaningfully faster than a butterfly+repack-
+                # only kernel means the two chain runs saw different
+                # relay weather — fall back to the end-to-end median
+                # rather than publish an impossible number.  (Falls back
+                # to the op-count model bound if no CALIBRATION.json.)
+                t_floor = None
+                try:
+                    from tpu_ntt.utils.calibrate import load_calibration
+                    cal = load_calibration()
+                    ceil = cal.get("stage_ceiling", cal["pe_ceiling"])[
+                        flavor]["gbf_per_s"] * 1e9
+                    eq_bf = bf + extra_ops / OPS_PER_BUTTERFLY[flavor]
+                    t_floor = eq_bf / ceil / 1.05   # 5% fit tolerance
+                except (TypeError, KeyError):
+                    from tpu_ntt.utils.profiling import \
+                        DEFAULT_VPU_INT_OPS
+                    t_floor = (OPS_PER_BUTTERFLY[flavor] * bf
+                               + extra_ops) / DEFAULT_VPU_INT_OPS
+                if cand < t_floor:
                     detail["fit_unstable"] = True
                     log(f"[bench] {config}: fit unstable (marginal "
-                        f"{bf / cand / 1e9:.1f} G exceeds the "
-                        f"compute bound) — using end-to-end median")
+                        f"{bf / cand / 1e9:.1f} G exceeds the measured "
+                        f"stage ceiling) — using end-to-end median")
                     cand = None
             if cand is not None:
                 marg_s = cand
@@ -607,9 +638,17 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             traffic = inner * 3 * batch * n * 4   # a, b in; c out, int32
         detail.update(_roofline(flavor, bf, traffic, marg_s,
                                 extra_ops=extra_ops))
-        log(f"[bench] {config}: {100 * detail['roofline_fraction']:.0f}% of "
-            f"{detail['roofline_bound']}-bound roofline ({flavor}"
-            f"{', marginal' if marg_s != med_s else ''})")
+        if "pe_fraction" in detail:
+            log(f"[bench] {config}: {100 * detail['pe_fraction']:.0f}% of "
+                f"the measured stage speed-of-light ({flavor}"
+                f"{', marginal' if marg_s != med_s else ''}; "
+                f"op-count model: "
+                f"{100 * detail['roofline_fraction']:.0f}%)")
+        else:
+            log(f"[bench] {config}: "
+                f"{100 * detail['roofline_fraction']:.0f}% of "
+                f"{detail['roofline_bound']}-bound roofline ({flavor}"
+                f"{', marginal' if marg_s != med_s else ''})")
     return bf_per_s, detail
 
 
@@ -679,7 +718,7 @@ def readme_table() -> str:
         details = json.load(f)
     lines = [
         "| config | n | q | backend | polymuls/s | G butterflies/s |"
-        " roofline |",
+        " % of stage ceiling |",
         "|---|---|---|---|---|---|---|",
     ]
     for d in details:
@@ -688,9 +727,15 @@ def readme_table() -> str:
             be += f" ({_FLAVOR_LABEL.get(d['flavor'], d['flavor'])})"
         pm = d["polymuls_per_s"]
         pm_s = f"{pm / 1e6:.1f} M" if pm >= 1e6 else f"{pm / 1e3:.1f} k"
-        roof = (f"{100 * d['roofline_fraction']:.0f}% of "
-                f"{d['roofline_bound']} bound"
-                if "roofline_fraction" in d else "—")
+        if "pe_fraction" in d:
+            roof = f"{100 * d['pe_fraction']:.0f}%"
+            if "roofline_fraction" in d:
+                roof += f" ({100 * d['roofline_fraction']:.0f}% of model)"
+        elif "roofline_fraction" in d:
+            roof = (f"{100 * d['roofline_fraction']:.0f}% of "
+                    f"{d['roofline_bound']} bound")
+        else:
+            roof = "—"
         if d.get("stale"):
             roof += " ⚠ stale (failed in latest sweep)"
         qb = d["q"]
@@ -723,11 +768,27 @@ def main():
     ap.add_argument("--readme-table", action="store_true",
                     help="print the README measured table from "
                          "BENCH_SWEEP.json (single source of truth)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="measure the device's VPU/HBM ceilings "
+                         "(utils/calibrate.py) -> CALIBRATION.json; "
+                         "subsequent roofline fractions use them")
     args = ap.parse_args()
 
     if args.readme_table:
         print(readme_table())
         return
+
+    if args.calibrate:
+        from tpu_ntt.utils.jaxcache import enable_compile_cache
+        enable_compile_cache()
+        from tpu_ntt.utils import calibrate as _cal
+        cal = _cal.calibrate()
+        pe = {f: d["gbf_per_s"] for f, d in cal["pe_ceiling"].items()}
+        log(f"[bench] calibrated butterfly ceilings (G bf/s): {pe}; "
+            f"HBM {cal['hbm_bytes_per_s']/1e9:.0f} GB/s "
+            f"on {cal['device_kind']}")
+        from tpu_ntt.utils import profiling as _prof
+        _prof._apply_calibration()
 
     if args.backends:
         bench_backends(max(5, args.iters // 3), args.warmup)

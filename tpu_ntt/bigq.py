@@ -452,13 +452,13 @@ class BigQPlan:
             # CPU (and remains the cross-check in tests).
             if backend == "pallas":
                 from .ops import bigq_kernel
-                if (n >= 4096
+                if (n > 4096
                         and PallasBigQBlocked.supported(n, self.primes,
                                                         q)):
                     # Pallas split -> per-channel four-step kernels ->
                     # Pallas Garner: four-step channel geometry (short
                     # rolls on both axes; the flat kernel's n/2-lane
-                    # rolls dominate past n≈2048) from a handful of
+                    # rolls dominate past n≈4096) from a handful of
                     # small kernels that each compile in seconds.  The
                     # monolithic alternative (ops/bigq_fourstep fuses
                     # the same pipeline into ONE kernel) saves ~6x HBM
@@ -466,13 +466,19 @@ class BigQPlan:
                     # compiles pathologically slowly (>10 min via the
                     # remote-compile tunnel vs ~10 s for these pieces),
                     # and both are compute-bound at these shapes — so
-                    # the composed form is the default.
+                    # the composed form is the default past n=4096.
                     self.fused_kernel = PallasBigQBlocked(
                         n, self.primes, q)
                 elif bigq_kernel.supported(n, self.primes, q):
-                    # small rings: the whole product (split + channels +
+                    # n <= 4096: the whole product (split + channels +
                     # Garner CRT) in ONE Pallas kernel, 6 HBM
-                    # plane-touches total
+                    # plane-touches total.  Measured ~30% faster than
+                    # the composed pipeline at n=4096 (round-3 A/B:
+                    # 49.6 ms vs 63.2 ms for a 16-product chain,
+                    # batch 256) — the per-kernel HBM round-trips
+                    # dominate the roll savings at this size.  Flat
+                    # compiles are minutes through the remote tunnel
+                    # the FIRST time (persistent cache amortises)
                     self.fused_kernel = bigq_kernel.PallasBigQ(
                         n, self.primes, q)
                 if isinstance(self.fused_kernel, PallasBigQBlocked):

@@ -242,8 +242,10 @@ class PallasBigQFourStep:
             )(lo_a, hi_a, lo_b, hi_b, *tables)
 
         jitted = jax.jit(run)
-        tables = tuple(jnp.asarray(t) for t in tabs)
-        return lambda *planes: jitted(*planes, *tables)
+        # lift the NumPy tables inside the call (converting here would
+        # leak tracers if the property is first built under an outer jit)
+        return lambda *planes: jitted(
+            *planes, *(jnp.asarray(t) for t in tabs))
 
     @functools.cached_property
     def polymul_planes(self):

@@ -467,8 +467,11 @@ class PallasBigQ:
     @functools.cached_property
     def polymul_planes(self):
         n, tile = self.n, self.tile
-        twf = jnp.asarray(self._twf)
-        twi = jnp.asarray(self._twi)
+        # keep the tables as NumPy and lift them inside the traced body:
+        # converting at property-build time leaks tracers if the first
+        # call happens under an outer jit (the cached closure would hold
+        # constants bound to that trace)
+        twf_np, twi_np = self._twf, self._twi
 
         def full(lo_a, hi_a, lo_b, hi_b):
             batch = lo_a.shape[0]
@@ -476,7 +479,8 @@ class PallasBigQ:
             args = [lo_a, hi_a, lo_b, hi_b]
             if pad:
                 args = [jnp.pad(x, ((0, pad), (0, 0))) for x in args]
-            lo, hi = self._call(*args, twf, twi)
+            lo, hi = self._call(*args, jnp.asarray(twf_np),
+                                jnp.asarray(twi_np))
             return lo[:batch], hi[:batch]
 
         return jax.jit(full)

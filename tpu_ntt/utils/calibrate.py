@@ -1,0 +1,267 @@
+"""Empirical device calibration for the roofline / speed-of-light model.
+
+The reference's performance ceiling is stated as PE × f_clk — 8
+butterfly PEs at the 50 MHz board clock = 0.4 G butterflies/s
+(defines.v PE, the DE2i-150 clock).  The TPU analog of that number is
+NOT derivable from a datasheet: what a butterfly costs depends on how
+Mosaic schedules the int32 mul/add/select mix onto the VPU, and generic
+int-op microbenchmarks measure the wrong thing (a dependent scalar-mix
+chain sustains ~2.5e12 lane-ops/s on this chip while the real NTT
+kernels sustain the equivalent of ~3.7e12 model-ops/s — the model's op
+weights, not the hardware, are what's uncertain).
+
+So measure the ceiling in BUTTERFLIES, per arithmetic flavor: a
+stripped kernel that runs nothing but back-to-back butterfly stages on
+VMEM-resident planes — same arithmetic, same compiler, same layout as
+the real kernels, but no repack, no base-case product, no HBM
+re-streaming, no dispatch.  Two unroll depths, min-time fit: the slope
+is the pure butterfly rate.  That is the per-chip speed of light the
+fused polymul kernels are judged against (``pe_fraction`` in
+bench.py's sweep details), exactly parallel to judging the FPGA
+pipeline against PE × f_clk.
+
+Also measured: sustained HBM stream bandwidth (read+add1+write, gridded
+blocks, min-time fit over repetition count) — the memory-side ceiling.
+
+``calibrate()`` writes CALIBRATION.json at the repo root;
+``profiling._apply_calibration`` picks up the measured HBM rate for the
+memory-bound side of the model (the VPU-op ceiling stays the documented
+spec-sheet estimate — see the module comment there).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+
+import numpy as np
+
+__all__ = ["calibrate", "load_calibration", "butterfly_ceiling",
+           "hbm_bytes_per_s"]
+
+_H, _TILE, _BLOCKS = 128, 512, 16     # two (128, 512) planes per block
+_BROWS, _BLANES = 512, 1024           # 2 MB HBM streaming block
+
+
+def _min_time(fn, iters=10, warmup=2):
+    for _ in range(warmup):
+        w = fn()
+    int(np.asarray(w))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        int(np.asarray(fn()))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def _stage_ops(flavor: str, q: int):
+    """One packed butterfly stage (A, B, w_row) -> (A', B'), the same
+    arithmetic as ops/butterfly's packed kernels (no repack)."""
+    import jax.numpy as jnp
+    q32 = np.int32(q)
+    two_q = np.int32(2 * q)
+
+    def csub(x, m):
+        r = x - m
+        return r + ((r >> 31) & m)
+
+    if flavor == "shoup":
+        def stage(A, B, w, wsh):
+            t = (B * wsh) >> 16
+            m = B * w - t * q32
+            return csub(A + m, two_q), csub(A - m + two_q, two_q)
+        return stage
+
+    if flavor == "f32":
+        three_q = np.int32(3 * q)
+        four_q = np.int32(4 * q)
+
+        def stage(A, B, w, wf):
+            t = (B.astype(jnp.float32) * wf).astype(jnp.int32)
+            r = B * w - t * q32 + three_q
+            m = csub(csub(r, four_q), two_q)
+            return csub(A + m, two_q), csub(A - m + two_q, two_q)
+        return stage
+
+    # mont: 15-bit digit-serial Montgomery (ops/butterfly mont kernels)
+    q0 = np.int32(q & ((1 << 15) - 1))
+    q1 = np.int32(q >> 15)
+    qp = np.int32((-pow(q, -1, 1 << 15)) % (1 << 15))
+    m15 = np.int32((1 << 15) - 1)
+
+    def redc(H, Mid, L0):
+        u0 = ((L0 & m15) * qp) & m15
+        t1 = (L0 + u0 * q0) >> 15
+        A1 = Mid + u0 * q1 + t1
+        a1h, a1l = A1 >> 15, A1 & m15
+        u1 = (a1l * qp) & m15
+        t2 = (a1l + u1 * q0) >> 15
+        return csub(csub(H + a1h + u1 * q1 + t2, q32), q32)
+
+    def subm(x, y):
+        r = x - y
+        return r + ((r >> 31) & q32)
+
+    def stage(A, B, w, _):
+        x1, x0 = B >> 15, B & m15
+        y1, y0 = w >> 15, w & m15
+        m = redc(x1 * y1, x1 * y0 + x0 * y1, x0 * y0)
+        return csub(A + m, q32), subm(A, m)
+    return stage
+
+
+_FLAVOR_Q = {"shoup": 12289, "f32": 8380417, "mont": 134348801}
+
+
+def butterfly_ceiling(flavor: str, r_hi: int = 1024,
+                      unroll: int = 16, repack: bool = False) -> dict:
+    """Measured butterflies/s of a butterfly-only kernel (planes
+    resident in VMEM, no base-case product, no HBM re-streaming, no
+    dispatch) — the PE x f_clk analog.  ``repack=True`` adds the
+    constant-geometry two-plane repack (mask + two rolls + two selects)
+    after every stage, i.e. the real kernels' exact stage loop: the
+    STAGE speed-of-light a perfect fused transform could reach."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = _FLAVOR_Q[flavor]
+    stage = _stage_ops(flavor, q)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(0, q, (_BLOCKS * 2 * _H, _TILE)),
+                    jnp.int32)
+    # 16 twiddle rows cycled per stage: data-dependent planes + varying
+    # broadcast rows leave the compiler nothing to fold
+    tw = rng.integers(1, q, (16, _H)).astype(np.int32)
+    twf = ((tw.astype(np.int64) << 16) // q).astype(np.int32) \
+        if flavor == "shoup" else tw
+    if flavor == "f32":
+        twf32 = (tw.astype(np.float64) / q).astype(np.float32)
+    spec = pl.BlockSpec((2 * _H, _TILE), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec((16, _H), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)
+    comp = twf32 if flavor == "f32" else twf
+    tw_j, comp_j = jnp.asarray(tw), jnp.asarray(comp)
+
+    def make(outer):
+        from jax.experimental.pallas import tpu as _pltpu
+
+        def do_repack(A, B, s):
+            bsz = 1 << (s % 7)                 # representative distances
+            i = jax.lax.broadcasted_iota(jnp.int32, A.shape, 0)
+            mask = ((i // bsz) & 1) == 0
+            A2 = jnp.where(mask, A, _pltpu.roll(B, bsz, 0))
+            B2 = jnp.where(mask, _pltpu.roll(A, _H - bsz, 0), B)
+            return A2, B2
+
+        def kernel(x_ref, tw_ref, cp_ref, o_ref):
+            A = x_ref[: _H, :]
+            B = x_ref[_H:, :]
+
+            def body(_, ab):
+                A, B = ab
+                for s in range(unroll):
+                    w = tw_ref[s % 16, :][:, None]
+                    c = cp_ref[s % 16, :][:, None] \
+                        if flavor != "mont" else None
+                    A, B = stage(A, B, w, c)
+                    if repack:
+                        A, B = do_repack(A, B, s)
+                return A, B
+
+            A, B = jax.lax.fori_loop(0, outer, body, (A, B))
+            o_ref[...] = jnp.concatenate([A, B], axis=0)
+        return kernel
+
+    def run(outer):
+        call = pl.pallas_call(
+            make(outer), grid=(_BLOCKS,),
+            in_specs=[spec, tw_spec, tw_spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32))
+        f = jax.jit(lambda v: jnp.max(call(v, tw_j, comp_j)))
+        return _min_time(lambda: f(x))
+
+    r_lo = max(1, r_hi // 4)
+    t_hi, t_lo = run(r_hi), run(r_lo)
+    slope = (t_hi - t_lo) / (r_hi - r_lo)       # s per unroll-block
+    bf = unroll * _BLOCKS * _H * _TILE          # butterflies per block
+    rate = bf / slope if slope > 0 else float("nan")
+    return {"gbf_per_s": round(rate / 1e9, 2),
+            "t_hi_s": t_hi, "t_lo_s": t_lo, "r_hi": r_hi,
+            "unroll": unroll, "q": q}
+
+
+def hbm_bytes_per_s(nblocks: int = 128, reps_hi: int = 32) -> dict:
+    """Sustained HBM stream bandwidth (read + write) in bytes/s."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.ones((nblocks * _BROWS, _BLANES), jnp.int32)
+    in_spec = pl.BlockSpec((_BROWS, _BLANES), lambda r, i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((_BROWS, _BLANES), lambda r, i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + 1
+
+    def run(reps):
+        call = pl.pallas_call(
+            kernel, grid=(reps, nblocks), in_specs=[in_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32))
+        f = jax.jit(lambda v: jnp.max(call(v)))
+        return _min_time(lambda: f(x))
+
+    r_lo = max(1, reps_hi // 4)
+    t_hi, t_lo = run(reps_hi), run(r_lo)
+    slope = (t_hi - t_lo) / (reps_hi - r_lo)
+    bytes_per_rep = 2 * nblocks * _BROWS * _BLANES * 4
+    rate = bytes_per_rep / slope if slope > 0 else float("nan")
+    return {"hbm_bytes_per_s": rate,
+            "hbm_detail": {"t_hi_s": t_hi, "t_lo_s": t_lo,
+                           "reps_hi": reps_hi, "reps_lo": r_lo,
+                           "bytes_per_rep": bytes_per_rep}}
+
+
+_CAL_PATH = pathlib.Path(__file__).resolve().parents[2] / \
+    "CALIBRATION.json"
+
+
+def calibrate(path: pathlib.Path | str | None = None) -> dict:
+    """Measure the per-flavor butterfly ceilings + HBM bandwidth on the
+    current default device; write CALIBRATION.json."""
+    import jax
+    dev = jax.devices()[0]
+    out = {"what": "measured speed-of-light ceilings "
+                   "(tpu_ntt.utils.calibrate)",
+           "platform": dev.platform, "device_kind": dev.device_kind,
+           "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                      time.gmtime()),
+           "pe_ceiling": {f: butterfly_ceiling(f)
+                          for f in ("shoup", "f32", "mont")},
+           "stage_ceiling": {f: butterfly_ceiling(f, repack=True)
+                             for f in ("shoup", "f32", "mont")}}
+    out.update(hbm_bytes_per_s())
+    p = pathlib.Path(path) if path else _CAL_PATH
+    p.write_text(json.dumps(out, indent=1))
+    return out
+
+
+def load_calibration(path: pathlib.Path | str | None = None):
+    """Parsed CALIBRATION.json dict, or None if absent/invalid."""
+    p = pathlib.Path(path) if path else _CAL_PATH
+    try:
+        d = json.loads(p.read_text())
+        if "pe_ceiling" in d or "hbm_bytes_per_s" in d:
+            return d
+    except (OSError, ValueError):
+        pass
+    return None

@@ -19,9 +19,27 @@ import numpy as np
 
 __all__ = ["Timer", "time_fn", "trace", "polymul_roofline", "RooflineReport"]
 
-# v5e per-chip ceilings (public spec numbers; override per generation)
+# v5e per-chip ceilings.  DEFAULT_VPU_INT_OPS is a spec-sheet ESTIMATE
+# (lane count x assumed issue width x assumed clock) used by the op-count
+# roofline model; the measured, compiler-faithful ceiling is the
+# per-flavor butterfly-only kernel rate in CALIBRATION.json
+# (utils/calibrate.butterfly_ceiling), which bench.py reports against as
+# ``pe_fraction``.  The HBM rate is replaced by the measured stream
+# bandwidth when a calibration artifact exists.
 DEFAULT_VPU_INT_OPS = 3.9e12     # 8x128 lanes x ~4 ALUs x ~0.94 GHz
-DEFAULT_HBM_BYTES = 8.1e11       # ~810 GB/s
+DEFAULT_HBM_BYTES = 8.1e11       # ~810 GB/s spec; measured ~640 GB/s
+
+def _apply_calibration() -> None:
+    global DEFAULT_HBM_BYTES
+    try:
+        from .calibrate import load_calibration
+        cal = load_calibration()
+    except Exception:
+        cal = None
+    if cal and cal.get("hbm_bytes_per_s", 0) > 0:
+        DEFAULT_HBM_BYTES = float(cal["hbm_bytes_per_s"])
+
+_apply_calibration()
 
 
 class Timer:
