@@ -763,6 +763,10 @@ def main():
                          "long chains amortise it out of the measurement)")
     ap.add_argument("--sweep", action="store_true",
                     help="run every config class; details to stderr")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config filter for --sweep "
+                         "(refresh single rows, e.g. after a relay-"
+                         "weather outlier, without re-running the rest)")
     ap.add_argument("--backends", action="store_true",
                     help="measure every backend per config -> BACKENDS.json")
     ap.add_argument("--readme-table", action="store_true",
@@ -809,7 +813,10 @@ def main():
         details = [d for d in details if d["config"] in sweep_cfgs]
         by_cfg = {d["config"]: i for i, d in enumerate(details)}
         stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        only = set(args.only.split(",")) if args.only else None
         for cfg, batch, inner in SWEEP:
+            if only is not None and cfg not in only:
+                continue
             try:
                 _, d = bench_config(cfg, batch, max(5, args.iters // 3),
                                     args.warmup, inner=inner, fit=True)
