@@ -234,6 +234,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         fn = mk_fn(inner)
         # r·c matrix + c vector transforms + r inverses per matvec
         bf = inner * batch * (r * c + r + c) * (n // 2) * 8
+        # non-butterfly kernel work per matvec (ops/matvec.py): r*c
+        # spectral mul_data (~12 lane-ops/slot, f32 Barrett), (c-1)*r
+        # accumulate add+csub (~3), r final scales (~8)
+        extra_ops = inner * batch * n * (r * c * 12
+                                         + (c - 1) * r * 3 + r * 8)
         traffic = inner * batch * (r * c + 2 * c + r) * n * 4
 
         def custom_check():
@@ -277,6 +282,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         # work accounting: k(k+2) transforms per matvec = the butterfly
         # count of k(k+2)/3 polymuls (each polymul = 3 transforms)
         bf = inner * batch * k * (k + 2) * 2 * (128 // 2) * 7
+        # non-butterfly work per matvec: k*k incomplete-NTT base-case
+        # products (~47 lane-ops/slot, see the kyber config), (k-1)*k
+        # accumulate add+csub (~3), k final scales (~8)
+        extra_ops = inner * batch * n * (k * k * 47
+                                         + (k - 1) * k * 3 + k * 8)
         # A (k,k,n) + s (k,n) in, out (k,n): per chained matvec
         traffic = inner * batch * (k * k + 2 * k) * n * 4
 
