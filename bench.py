@@ -853,15 +853,22 @@ def main():
                 pass
         log("[bench] sweep: " + json.dumps(details))
 
-    bf_per_s, _ = bench_config(args.config, args.batch, args.iters,
-                               args.warmup, args.backend, args.inner)
-    print(json.dumps({
+    bf_per_s, d = bench_config(args.config, args.batch, args.iters,
+                               args.warmup, args.backend, args.inner,
+                               fit=True)
+    out = {
         "metric": f"ntt_butterflies_per_sec_per_chip ({args.config} "
                   f"negacyclic polymul, batch={args.batch})",
         "value": round(bf_per_s / 1e9, 3),
         "unit": "Gbutterflies/s",
         "vs_baseline": round(bf_per_s / FPGA_BUTTERFLIES_PER_SEC, 1),
-    }))
+    }
+    # context fields (the tunneled dispatch round-trip is weather-
+    # dependent; the marginal rate is the device kernel's own speed)
+    for k in ("marginal_gbf", "fixed_ms", "pe_fraction"):
+        if k in d:
+            out[k] = d[k]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
