@@ -44,39 +44,77 @@ FPGA_BUTTERFLIES_PER_SEC = 8 * 50e6          # PE x board clock (generous)
 # The fraction published is max(compute_bound, hbm_bound) / measured — a
 # model, not a measurement; BASELINE.json's >=90% target is judged on it.
 OPS_PER_BUTTERFLY = {"shoup": 20.0, "f32": 26.0, "mont": 34.0}
+# op-model weight of one incomplete-NTT base-case (basemul) output slot —
+# only used for the spec-sheet roofline_fraction and as fallback when no
+# measured incomplete_extra calibration exists
+BASEMUL_OPS = 47.0
+
+
+def _measured_ceiling_s(flavor: str, bf: float, extra_ops: float,
+                        lane_frac: float, extra_slots: float):
+    """Seconds the MEASURED stage speed-of-light needs for this kernel's
+    compute, or None without a usable CALIBRATION.json.
+
+    ``lane_frac``: fraction of the butterflies executed in the lane-roll
+    geometry (coefficients on lanes — bigq flat kernels, the row-stage
+    half of four-step kernels), judged against ``stage_ceiling_lane``;
+    the rest against the sublane ``stage_ceiling``.  ``extra_slots``:
+    incomplete-NTT basemul output slots, judged against the measured
+    ``incomplete_extra`` unit rate; residual ``extra_ops`` convert to
+    butterflies at the flavor's op weight on the geometry-weighted
+    ceiling."""
+    from tpu_ntt.utils.calibrate import load_calibration
+    cal = load_calibration()
+    if cal is None:
+        return None
+    try:
+        sub = cal.get("stage_ceiling",
+                      cal["pe_ceiling"])[flavor]["gbf_per_s"] * 1e9
+        lane_tab = cal.get("stage_ceiling_lane")
+        lane = lane_tab[flavor]["gbf_per_s"] * 1e9 if lane_tab else sub
+        t = bf * ((1.0 - lane_frac) / sub + lane_frac / lane)
+        if extra_slots:
+            inc = cal.get("incomplete_extra")
+            if inc:
+                t += extra_slots / (inc["gslots_per_s"] * 1e9)
+            else:
+                extra_ops = extra_ops + extra_slots * BASEMUL_OPS
+        res_ceil = lane if lane_frac >= 0.5 else sub
+        t += extra_ops / (OPS_PER_BUTTERFLY[flavor] * res_ceil)
+        return t
+    except (TypeError, KeyError):
+        return None
 
 
 def _roofline(flavor: str, bf: float, traffic_bytes: float,
-              measured_s: float, extra_ops: float = 0.0) -> dict:
+              measured_s: float, extra_ops: float = 0.0,
+              lane_frac: float = 0.0, extra_slots: float = 0.0) -> dict:
     """``extra_ops``: lane-ops the kernel performs that are NOT butterfly
-    work (e.g. the incomplete-NTT base-case product) — included in the
-    compute bound so fractions stay honest for kernels whose non-butterfly
-    work is substantial.
+    work and NOT basemul slots — included in the compute bound so
+    fractions stay honest for kernels whose non-butterfly work is
+    substantial.  ``extra_slots``: incomplete-NTT basemul output slots
+    (measured unit).  ``lane_frac``: see :func:`_measured_ceiling_s`.
 
     Two fractions are reported when a CALIBRATION.json exists:
     ``roofline_fraction`` judges against the op-count MODEL (spec-sheet
     VPU rate x per-flavor op weights), ``pe_fraction`` against the
-    MEASURED butterfly-only kernel ceiling of this device+compiler
-    (utils/calibrate.butterfly_ceiling — the PE x f_clk analog;
-    equivalent-butterfly basis: extra_ops are converted to butterflies
-    at the flavor's op weight)."""
+    MEASURED stage-kernel ceilings of this device+compiler
+    (utils/calibrate — the PE x f_clk analog), geometry-matched per
+    kernel class (VERDICT r3 missing #2)."""
     from tpu_ntt.utils.profiling import (DEFAULT_HBM_BYTES,
                                          DEFAULT_VPU_INT_OPS)
-    t_c = (OPS_PER_BUTTERFLY[flavor] * bf + extra_ops) / DEFAULT_VPU_INT_OPS
+    t_c = (OPS_PER_BUTTERFLY[flavor] * bf + extra_ops
+           + extra_slots * BASEMUL_OPS) / DEFAULT_VPU_INT_OPS
     t_m = traffic_bytes / DEFAULT_HBM_BYTES
     out = {"flavor": flavor,
            "roofline_bound": "compute" if t_c >= t_m else "hbm",
            "roofline_fraction": round(max(t_c, t_m) / measured_s, 3)}
-    try:
-        from tpu_ntt.utils.calibrate import load_calibration
-        cal = load_calibration()
-        ceil = cal.get("stage_ceiling",
-                       cal["pe_ceiling"])[flavor]["gbf_per_s"] * 1e9
-        eq_bf = bf + extra_ops / OPS_PER_BUTTERFLY[flavor]
-        t_pe = max(eq_bf / ceil, t_m)
-        out["pe_fraction"] = round(t_pe / measured_s, 3)
-    except (TypeError, KeyError):
-        pass
+    t_pe = _measured_ceiling_s(flavor, bf, extra_ops, lane_frac,
+                               extra_slots)
+    if t_pe is not None:
+        out["pe_fraction"] = round(max(t_pe, t_m) / measured_s, 3)
+        if lane_frac:
+            out["lane_frac"] = round(lane_frac, 3)
     return out
 
 
@@ -203,6 +241,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     traffic = None                # HBM bytes per timed call (default below)
     mk_fn = None                  # inner -> zero-arg timed fn (fit mode)
     extra_ops = 0.0               # non-butterfly lane-ops in the bound
+    lane_frac = 0.0               # butterflies in lane-roll geometry
+    extra_slots = 0.0             # incomplete-NTT basemul output slots
 
     if config == "dilithium_matvec":         # ML-DSA A_hat·s_hat, 4x4
         n, q = 256, 8380417
@@ -283,10 +323,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         # count of k(k+2)/3 polymuls (each polymul = 3 transforms)
         bf = inner * batch * k * (k + 2) * 2 * (128 // 2) * 7
         # non-butterfly work per matvec: k*k incomplete-NTT base-case
-        # products (~47 lane-ops/slot, see the kyber config), (k-1)*k
-        # accumulate add+csub (~3), k final scales (~8)
-        extra_ops = inner * batch * n * (k * k * 47
-                                         + (k - 1) * k * 3 + k * 8)
+        # products (MEASURED unit: calibrate.incomplete_extra), plus
+        # residual op-model terms — (k-1)*k accumulate add+csub (~3),
+        # k final scales (~8)
+        extra_slots = inner * batch * n * k * k
+        extra_ops = inner * batch * n * ((k - 1) * k * 3 + k * 8)
         # A (k,k,n) + s (k,n) in, out (k,n): per chained matvec
         traffic = inner * batch * (k * k + 2 * k) * n * 4
 
@@ -333,10 +374,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             fn = mk_fn(inner)
         check_fn = lambda: check(a, b)
         bf = inner * 3 * batch * 2 * (128 // 2) * 7   # 2 size-128 sub-NTTs
-        # basemul (2 mul_lazy + 3 pair_swaps + shoup + folds ~= 47
-        # lane-ops/slot) + final scale (~8/slot) are NOT butterflies —
-        # count them into the compute bound
-        extra_ops = inner * batch * n * (47 + 8)
+        # basemul slots are NOT butterflies: judged against the MEASURED
+        # incomplete_extra unit (calibrate.py); the final scale (~8
+        # lane-ops/slot) stays an op-model residual
+        extra_slots = inner * batch * n
+        extra_ops = inner * batch * n * 8
     elif config.startswith("bigq"):          # RNS channels + CRT
         # bigq62: n=4096 (ONE-kernel or composed pipeline per BigQPlan's
         # auto choice); bigq65536 / bigq1m: BASELINE config 4's large
@@ -383,6 +425,15 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             k = len(plan.primes)
             bf = inner * k * _butterflies(n, p.log2n, batch)
             flavor = "mont"
+            import math
+            if type(kb).__name__ == "PallasBigQ":
+                lane_frac = 1.0      # flat (tile, h): coefficients on lanes
+            else:
+                # four-step channel geometry: the row-stage share of the
+                # butterflies rolls lanes, the column share sublanes
+                ck = (kb.channels.kernels[0] if hasattr(kb, "channels")
+                      else kb)
+                lane_frac = math.log2(ck.n2) / p.log2n
             # Non-butterfly lane-ops per OUTPUT COEFFICIENT (counted from
             # ops/bigq_kernel.py; OPS_PER_BUTTERFLY covers only the
             # channel-NTT butterflies, but for RNS pipelines the split /
@@ -485,6 +536,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 backend = "fourstep-blocked-pallas"
             from tpu_ntt.ops.butterfly import _flavor
             flavor = _flavor(p.q)
+            import math
+            lane_frac = math.log2(plan.n2) / p.log2n
             a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
             b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
             mk_fn = lambda iv: (
@@ -616,19 +669,16 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 # relay weather — fall back to the end-to-end median
                 # rather than publish an impossible number.  (Falls back
                 # to the op-count model bound if no CALIBRATION.json.)
-                t_floor = None
-                try:
-                    from tpu_ntt.utils.calibrate import load_calibration
-                    cal = load_calibration()
-                    ceil = cal.get("stage_ceiling", cal["pe_ceiling"])[
-                        flavor]["gbf_per_s"] * 1e9
-                    eq_bf = bf + extra_ops / OPS_PER_BUTTERFLY[flavor]
-                    t_floor = eq_bf / ceil / 1.05   # 5% fit tolerance
-                except (TypeError, KeyError):
+                t_floor = _measured_ceiling_s(flavor, bf, extra_ops,
+                                              lane_frac, extra_slots)
+                if t_floor is not None:
+                    t_floor = t_floor / 1.05        # 5% fit tolerance
+                else:
                     from tpu_ntt.utils.profiling import \
                         DEFAULT_VPU_INT_OPS
-                    t_floor = (OPS_PER_BUTTERFLY[flavor] * bf
-                               + extra_ops) / DEFAULT_VPU_INT_OPS
+                    t_floor = (OPS_PER_BUTTERFLY[flavor] * bf + extra_ops
+                               + extra_slots * BASEMUL_OPS) \
+                        / DEFAULT_VPU_INT_OPS
                 if cand < t_floor:
                     detail["fit_unstable"] = True
                     log(f"[bench] {config}: fit unstable (marginal "
@@ -647,7 +697,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         if traffic is None:
             traffic = inner * 3 * batch * n * 4   # a, b in; c out, int32
         detail.update(_roofline(flavor, bf, traffic, marg_s,
-                                extra_ops=extra_ops))
+                                extra_ops=extra_ops, lane_frac=lane_frac,
+                                extra_slots=extra_slots))
         if "pe_fraction" in detail:
             log(f"[bench] {config}: {100 * detail['pe_fraction']:.0f}% of "
                 f"the measured stage speed-of-light ({flavor}"

@@ -33,6 +33,19 @@ def test_engine_dispatch_and_multiply(rng, n, q, kind):
         c[0], ref.schoolbook_negacyclic(a[0], b[0], q))
 
 
+def test_engine_incomplete_pallas_forced(rng):
+    """backend='pallas' reaches the fused incomplete kernel even on CPU
+    (interpret mode) — the engine-level twin of the schemes dispatch;
+    auto-on-TPU is pinned by test_tpu_parity.py."""
+    eng = PolyMultEngine(n=256, q=3329, backend="pallas")
+    assert eng.kind == "incomplete-pallas"
+    a = rng.integers(0, 3329, (2, 256))
+    b = rng.integers(0, 3329, (2, 256))
+    c = eng.multiply(a, b)
+    np.testing.assert_array_equal(
+        c[0], ref.schoolbook_negacyclic(a[0], b[0], 3329))
+
+
 def test_engine_bigq_dispatch(rng):
     from tpu_ntt.params import find_params
     p = find_params(256, 45)

@@ -1587,6 +1587,17 @@ class PallasIncompletePolymul:
         check_domain(b, self.q, "polymul_cm b")
         return self._full_cm(jnp.asarray(a), jnp.asarray(b))
 
+    def matvec_supported(self, r: int, c: int) -> bool:
+        """True when the fused matvec kernel covers this (r, c) module
+        shape: packed cm geometry, the c <= 4 exact-accumulator bound,
+        and the VMEM plane budget at the minimum 128-lane tile."""
+        if not (self.packed and self.cm):
+            return False
+        if c > 4 or c < 1 or r < 1:
+            return False
+        planes = 2 * r * c + 2 * c + 2 * r + 8
+        return planes * self.n * 4 * 128 < (14 << 20)
+
     def _matvec_call(self, r: int, c: int):
         """Jitted fused module-product kernel for a static (r, c) shape.
         Takes cm-stacked blocks: A (r·c·n, batch), s (c·n, batch) ->

@@ -78,10 +78,19 @@ class PolyMultEngine:
             self._plan = BigQPlan(p, mesh=self.mesh)
             self._kind = "bigq"
         elif (q - 1) % (2 * n) != 0:
-            if (self.backend == "pallas" and q < (1 << 14)
-                    and (q - 1) % n == 0):
+            # the fused incomplete-NTT kernel is the DEFAULT on a real
+            # accelerator — the mode dispatch must reach the fast path
+            # the way the reference FSM always reaches the PE array
+            # (PolyMult.v:110-124); backend="pallas" forces it (interpret
+            # mode on CPU)
+            use_pallas = (q < (1 << 14) and (q - 1) % n == 0 and n >= 16
+                          and (self.backend == "pallas"
+                               or (self.backend == "auto"
+                                   and self._tpu_default())))
+            if use_pallas:
                 from ..ops.butterfly import PallasIncompletePolymul
-                self._plan = PallasIncompletePolymul(n, q)
+                self._plan = PallasIncompletePolymul(
+                    n, q, interpret=not self._tpu_default())
                 self._kind = "incomplete-pallas"
             else:
                 from ..schemes import IncompletePlan
