@@ -81,6 +81,55 @@ def test_spectrum_is_permutation_of_standard(mesh, rng):
             assert fm[k1p, k2p] == std[freq]
 
 
+def _count_a2a(fn, *args):
+    """Number of all_to_all collectives in the lowered computation."""
+    import re
+    txt = jax.jit(fn).lower(*args).as_text()
+    return len(re.findall(r"all[-_]to[-_]all", txt, re.IGNORECASE))
+
+
+@pytest.mark.parametrize("n,q", [(1024, 12289), (4096, 134348801)])
+def test_polymul_chain_bit_exact_and_2_collectives(mesh, rng, n, q):
+    """Transposed-domain chained products (SCALING.md §2 headroom item,
+    VERDICT r3 next #4): ((a·b1)·b2)·b3 via ONE stacked forward
+    collective + spectral products + ONE inverse collective, bit-exact
+    with three sequential polymuls (incl. the Montgomery pointwise_fix
+    bookkeeping at the 28-bit q), with the collective count measured
+    from the lowered graph: 2 vs 6."""
+    p = make_params(n, q)
+    sp = ShardedPlan(p, mesh)
+    k = 3
+    a = rng.integers(0, q, (2, n)).astype(np.int32)
+    bs = [rng.integers(0, q, (2, n)).astype(np.int32) for _ in range(k)]
+    got = sp.polymul_chain(a, bs)
+    want = a
+    for b in bs:
+        want = sp.unshard(sp.polymul_jit(sp.shard_coeffs(want),
+                                         sp.shard_coeffs(b)))
+    np.testing.assert_array_equal(got, want)
+    stacked = sp.shard_coeffs(np.concatenate([a] + bs, axis=0))
+    n_chain = _count_a2a(sp.polymul_chain_jit(k), stacked)
+    sa = sp.shard_coeffs(a)
+    n_single = _count_a2a(sp.polymul_jit, sa, sa)
+    assert n_chain == 2, n_chain
+    assert n_single == 2, n_single          # so the chain saves 2k-2
+
+
+def test_polymul_overlapped_bit_exact(mesh, rng):
+    """Double-buffered comm/compute overlap: bit-exact with polymul_jit;
+    4 half-volume collectives instead of 2 (each ridable under the other
+    half's local transforms — icimodel ``overlap=True``)."""
+    p = make_params(4096, 134348801)
+    sp = ShardedPlan(p, mesh)
+    a = rng.integers(0, p.q, (4, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (4, p.n)).astype(np.int32)
+    sa, sb = sp.shard_coeffs(a), sp.shard_coeffs(b)
+    got = sp.unshard(sp.polymul_overlapped_jit(sa, sb))
+    want = sp.unshard(sp.polymul_jit(sa, sb))
+    np.testing.assert_array_equal(got, want)
+    assert _count_a2a(sp.polymul_overlapped_jit, sa, sb) == 4
+
+
 def test_mesh_divisibility_error(mesh):
     p = make_params(256, 12289)
     with pytest.raises(ValueError):
@@ -256,15 +305,184 @@ print(f"proc {proc_id}: DCN-OK shards={nsh} n={p.n} q={p.q} "
         outs.append(out)
         assert pr.returncode == 0, f"proc {i} failed:\n{out}"
         assert f"proc {i}: DCN-OK" in out, out
-    # evidence artifact (refreshed whenever this test runs at repo root)
-    if os.path.exists("SURVEY.md"):
-        with open("DCN_MULTIPROC.json", "w") as f:
-            json.dump({
-                "processes": 2, "devices_per_process": 2,
-                "mesh": {"dp": 1, "sp": 4}, "n": 4096, "q_bits": 28,
-                "transport": "jax.distributed + Gloo over localhost "
-                             "(the DCN stand-in this sandbox permits)",
-                "checked": "per-process addressable shards vs schoolbook",
-                "wall_s": round(time.time() - t0, 1),
-                "ok": True,
-            }, f, indent=1)
+    _dcn_record("sp4_2proc", {
+        "processes": 2, "devices_per_process": 2,
+        "mesh": {"dp": 1, "sp": 4}, "n": 4096, "q_bits": 28,
+        "transport": "jax.distributed + Gloo over localhost "
+                     "(the DCN stand-in this sandbox permits)",
+        "checked": "per-process addressable shards vs schoolbook",
+        "wall_s": round(time.time() - t0, 1),
+        "ok": True,
+    })
+
+
+def _dcn_record(name, payload):
+    """Accumulate multi-process evidence runs in DCN_MULTIPROC.json
+    (keyed by run name, refreshed whenever the test runs at repo root)."""
+    import json
+    if not os.path.exists("SURVEY.md"):
+        return
+    try:
+        with open("DCN_MULTIPROC.json") as f:
+            doc = json.load(f)
+        if "runs" not in doc:                 # migrate the r3 format
+            doc = {"runs": {"sp4_2proc": doc}}
+    except (OSError, ValueError):
+        doc = {"runs": {}}
+    doc["runs"][name] = payload
+    with open("DCN_MULTIPROC.json", "w") as f:
+        json.dump(doc, f, indent=1)
+
+
+def test_multiprocess_dcn_dp_and_sp_4proc():
+    """The PRODUCTION topology across real process boundaries: 4
+    jax.distributed processes (1 virtual CPU device each), mesh
+    dp=2 × sp=2 — the data-parallel axis AND the sequence-parallel
+    all_to_all both span process boundaries (VERDICT r3 next #5; round
+    3's only DCN evidence kept dp inside one process).  Every process
+    verifies its addressable shards bit-exactly vs schoolbook."""
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+
+    worker = r"""
+import sys
+proc_id = int(sys.argv[1]); port = int(sys.argv[2])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tpu_ntt.parallel import multihost
+from tpu_ntt.parallel.sharded import ShardedPlan
+from tpu_ntt.params import find_params
+from tpu_ntt import ref
+
+multihost.initialize(coordinator=f"localhost:{port}", num_processes=4,
+                     process_id=proc_id)
+assert jax.process_count() == 4
+assert len(jax.devices()) == 4 and len(jax.local_devices()) == 1
+mesh = multihost.global_mesh(axes=("dp", "sp"), dp=2)
+assert dict(mesh.shape) == {"dp": 2, "sp": 2}
+p = find_params(1 << 12, 28)
+sp = ShardedPlan(p, mesh, axis="sp", batch_axis="dp")
+rng = np.random.default_rng(0)               # same data on every process
+a = rng.integers(0, p.q, (2, p.n))           # one batch row per dp group
+b = rng.integers(0, p.q, (2, p.n))
+c = sp.polymul_jit(sp.shard_coeffs(a), sp.shard_coeffs(b))
+want = np.stack([np.asarray(ref.schoolbook_negacyclic(
+    a[i].astype(object), b[i].astype(object), p.q)).astype(np.int64)
+    for i in range(2)]).reshape(2, sp.n1, sp.n2)
+nsh = 0
+for shard in c.addressable_shards:
+    np.testing.assert_array_equal(
+        np.asarray(shard.data).astype(np.int64), want[shard.index])
+    nsh += 1
+assert nsh == 1, nsh
+print(f"proc {proc_id}: DCN4-OK mesh={dict(mesh.shape)}", flush=True)
+"""
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    t0 = time.time()
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", worker, str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(4)]
+    for i, pr in enumerate(procs):
+        out, _ = pr.communicate(timeout=240)
+        assert pr.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i}: DCN4-OK" in out, out
+    _dcn_record("dp2_sp2_4proc", {
+        "processes": 4, "devices_per_process": 1,
+        "mesh": {"dp": 2, "sp": 2}, "n": 4096, "q_bits": 28,
+        "transport": "jax.distributed + Gloo over localhost",
+        "checked": "per-process addressable shards vs schoolbook; BOTH "
+                   "mesh axes cross process boundaries",
+        "wall_s": round(time.time() - t0, 1),
+        "ok": True,
+    })
+
+
+def test_multiprocess_worker_death_surfaces_timeout():
+    """Failure path at process scale (VERDICT r3 next #5): a healthy
+    2-process product, then one worker dies; the survivor's
+    ``polymul_robust`` must surface DeviceTimeout within its deadline
+    instead of hanging the job — the reference's bounded busy/done
+    polling + reboot-after-wedge posture
+    (NTT_PCIECommunicationv2.c:56-103) across DCN."""
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    with socket.socket() as s:
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+
+    worker = r"""
+import os, sys, time
+proc_id = int(sys.argv[1]); port = int(sys.argv[2])
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from tpu_ntt.parallel import multihost
+from tpu_ntt.parallel.sharded import ShardedPlan
+from tpu_ntt.params import find_params
+from tpu_ntt.utils.watchdog import DeviceTimeout
+
+multihost.initialize(coordinator=f"localhost:{port}", num_processes=2,
+                     process_id=proc_id)
+mesh = multihost.global_mesh(axes=("dp", "x"), dp=1)
+p = find_params(1 << 12, 28)
+sp = ShardedPlan(p, mesh)
+rng = np.random.default_rng(0)
+a = sp.shard_coeffs(rng.integers(0, p.q, (1, p.n)))
+b = sp.shard_coeffs(rng.integers(0, p.q, (1, p.n)))
+# healthy product (compiles + runs the cross-process collective)
+sp.polymul_robust(a, b, deadline_s=120, attempts=1)
+print(f"proc {proc_id}: HEALTHY-OK", flush=True)
+if proc_id == 1:
+    time.sleep(1)
+    os._exit(1)                              # die mid-session
+time.sleep(3)                                # let the peer die first
+t0 = time.time()
+try:
+    sp.polymul_robust(a, b, deadline_s=15, attempts=1)
+    print("proc 0: UNEXPECTED-SUCCESS", flush=True)
+except DeviceTimeout:
+    print(f"proc 0: TIMEOUT-SURFACED wall={time.time()-t0:.1f}s",
+          flush=True)
+except Exception as e:                       # fast collective error is
+    print(f"proc 0: PEER-ERROR-SURFACED {type(e).__name__} "    # also a
+          f"wall={time.time()-t0:.1f}s", flush=True)     # detected fail
+"""
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=1",
+               JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+    t0 = time.time()
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", worker, str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for i in range(2)]
+    out1, _ = procs[1].communicate(timeout=240)
+    assert "proc 1: HEALTHY-OK" in out1, out1
+    out0, _ = procs[0].communicate(timeout=240)
+    assert "proc 0: HEALTHY-OK" in out0, out0
+    surfaced = ("TIMEOUT-SURFACED" in out0
+                or "PEER-ERROR-SURFACED" in out0)
+    assert surfaced and "UNEXPECTED-SUCCESS" not in out0, out0
+    _dcn_record("worker_death_2proc", {
+        "processes": 2, "devices_per_process": 1,
+        "mesh": {"x": 2}, "n": 4096, "q_bits": 28,
+        "scenario": "worker 1 os._exit(1) after a healthy product; "
+                    "survivor's polymul_robust(deadline_s=15) must "
+                    "surface the failure",
+        "surfaced": ("DeviceTimeout" if "TIMEOUT-SURFACED" in out0
+                     else "peer collective error"),
+        "wall_s": round(time.time() - t0, 1),
+        "ok": True,
+    })

@@ -1183,15 +1183,13 @@ def _make_incomplete_kernel(sub_p: NTTParams, n: int, tile: int,
     return kernel
 
 
-def _make_incomplete_kernel_packed(sub_p: NTTParams, n: int, tile: int):
-    """Two-plane constant-geometry variant of the incomplete kernel.
-
-    Same geometry as _make_kernel_packed with the d=1 stage replaced by
-    the base-case product: forward stops after the d=2 stage, where plane
-    A holds lanes with bit 1 clear ({0,1,4,5,...}) and B their d=2
-    partners — so the (2k, 2k+1) base pairs sit at (even, odd) SLOTS
-    inside each plane and basemul runs per-plane; the inverse's first
-    (d=2) stage consumes exactly that layout, no repack at either seam."""
+def _incomplete_packed_closures(sub_p: NTTParams, n: int, tile: int):
+    """The packed incomplete kernel's compute closures (fwd/inv stage
+    loops, base-case product, final scale) — shared between the real
+    streamed kernel (:func:`_make_incomplete_kernel_packed`) and the
+    VMEM-resident chained ceiling kernel
+    (utils/calibrate.incomplete_kernel_ceiling), so the speed-of-light
+    ruler and the shipped kernel can never drift apart."""
     q = sub_p.q
     h = n // 2
     log2n = sub_p.log2n + 1                 # full ring size exponent
@@ -1273,19 +1271,46 @@ def _make_incomplete_kernel_packed(sub_p: NTTParams, n: int, tile: int):
     minv = sub_p.n_inv
     minv_sh = (minv << 16) // q
 
-    def kernel(a_ref, b_ref, twf_ref, twfsh_ref, twi_ref, twish_ref,
-               t_ref, tsh_ref, out_ref):
-        twf, twfsh = twf_ref[...], twfsh_ref[...]
-        twi, twish = twi_ref[...], twish_ref[...]
-        t, tsh = t_ref[...], tsh_ref[...]   # (h, 2): one column per plane
-        xa, xb = a_ref[...], b_ref[...]
+    def fin(x):
+        return csubq(shoup(x, np.int32(minv), np.int32(minv_sh)))
+
+    def polymul_planes(xa, xb, twf, twfsh, twi, twish, t, tsh):
+        """One full product on resident planes: (n, tile) in/out."""
         faA, faB = fwd(xa[:h], xa[h:], twf, twfsh)
         fbA, fbB = fwd(xb[:h], xb[h:], twf, twfsh)
         cA = basemul(faA, fbA, t[:, 0:1], tsh[:, 0:1])
         cB = basemul(faB, fbB, t[:, 1:2], tsh[:, 1:2])
         A, B = inv(cA, cB, twi, twish)
-        fin = lambda x: csubq(shoup(x, np.int32(minv), np.int32(minv_sh)))
-        out_ref[...] = jnp.concatenate([fin(A), fin(B)], axis=0)
+        return jnp.concatenate([fin(A), fin(B)], axis=0)
+
+    def roundtrip_planes(xa, twf, twfsh, twi, twish):
+        """fwd + inv + scale (no basemul): the transform-only unit."""
+        A, B = fwd(xa[:h], xa[h:], twf, twfsh)
+        A, B = inv(csub2q(A), csub2q(B), twi, twish)
+        return jnp.concatenate([fin(A), fin(B)], axis=0)
+
+    return {"h": h, "fwd": fwd, "inv": inv, "basemul": basemul,
+            "fin": fin, "polymul_planes": polymul_planes,
+            "roundtrip_planes": roundtrip_planes}
+
+
+def _make_incomplete_kernel_packed(sub_p: NTTParams, n: int, tile: int):
+    """Two-plane constant-geometry variant of the incomplete kernel.
+
+    Same geometry as _make_kernel_packed with the d=1 stage replaced by
+    the base-case product: forward stops after the d=2 stage, where plane
+    A holds lanes with bit 1 clear ({0,1,4,5,...}) and B their d=2
+    partners — so the (2k, 2k+1) base pairs sit at (even, odd) SLOTS
+    inside each plane and basemul runs per-plane; the inverse's first
+    (d=2) stage consumes exactly that layout, no repack at either seam."""
+    c = _incomplete_packed_closures(sub_p, n, tile)
+    polymul_planes = c["polymul_planes"]
+
+    def kernel(a_ref, b_ref, twf_ref, twfsh_ref, twi_ref, twish_ref,
+               t_ref, tsh_ref, out_ref):
+        out_ref[...] = polymul_planes(
+            a_ref[...], b_ref[...], twf_ref[...], twfsh_ref[...],
+            twi_ref[...], twish_ref[...], t_ref[...], tsh_ref[...])
 
     return kernel
 

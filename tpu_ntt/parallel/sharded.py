@@ -170,31 +170,49 @@ class ShardedPlan:
     # shard_map bodies (operate on local blocks, batch leading)
     # ------------------------------------------------------------------
 
-    def _fwd_body(self, x):
-        """x local: (B, n1, L2) — coefficient matrix with columns sharded."""
-        ax = self.axis
-        idx = jax.lax.axis_index(ax)
+    def _fwd_local(self, x):
+        """Forward phase 1 (all LOCAL work before the collective):
+        column NTTs + twist on (B, n1, L2)."""
+        idx = jax.lax.axis_index(self.axis)
         y = jnp.swapaxes(x, -1, -2)                       # (B, L2, n1)
         y = self.plan1.ntt(y, "ct", "std2rev",
                            mixed=self.params.negacyclic)  # column NTTs
         y = self.arith.mul_const(y, self._local_tw(self._t_fwd, idx))
-        y = jnp.swapaxes(y, -1, -2)                       # (B, n1, L2)
-        y = jax.lax.all_to_all(y, ax, split_axis=1, concat_axis=2,
-                               tiled=True)                # (B, n1/D, n2)
-        return self.plan2.ntt(y, "ct", "std2rev")         # row NTTs
+        return jnp.swapaxes(y, -1, -2)                    # (B, n1, L2)
 
-    def _inv_body(self, y):
-        """y local: (B, n1/D, n2) four-step spectrum -> (B, n1, L2)."""
-        ax = self.axis
-        idx = jax.lax.axis_index(ax)
-        z = self.plan2.ntt(y, "gs", "rev2std", inverse=True)
-        z = jax.lax.all_to_all(z, ax, split_axis=2, concat_axis=1,
-                               tiled=True)                # (B, n1, L2)
+    def _fwd_a2a(self, y):
+        """Forward phase 2: the ICI transpose (brscramble analog)."""
+        return jax.lax.all_to_all(y, self.axis, split_axis=1,
+                                  concat_axis=2, tiled=True)
+
+    def _fwd_rows(self, y):
+        """Forward phase 3 (local): row NTTs on (B, n1/D, n2)."""
+        return self.plan2.ntt(y, "ct", "std2rev")
+
+    def _fwd_body(self, x):
+        """x local: (B, n1, L2) — coefficient matrix with columns sharded."""
+        return self._fwd_rows(self._fwd_a2a(self._fwd_local(x)))
+
+    def _inv_rows(self, y):
+        """Inverse phase 1 (local): row INTTs on the spectrum."""
+        return self.plan2.ntt(y, "gs", "rev2std", inverse=True)
+
+    def _inv_a2a(self, z):
+        return jax.lax.all_to_all(z, self.axis, split_axis=2,
+                                  concat_axis=1, tiled=True)
+
+    def _inv_finish(self, z):
+        """Inverse phase 3 (local): untwist + column INTTs."""
+        idx = jax.lax.axis_index(self.axis)
         z = jnp.swapaxes(z, -1, -2)                       # (B, L2, n1)
         z = self.arith.mul_const(z, self._local_tw(self._t_inv, idx))
         z = self.plan1.ntt(z, "gs", "rev2std", inverse=True,
                            mixed=self.params.negacyclic)
         return jnp.swapaxes(z, -1, -2)                    # (B, n1, L2)
+
+    def _inv_body(self, y):
+        """y local: (B, n1/D, n2) four-step spectrum -> (B, n1, L2)."""
+        return self._inv_finish(self._inv_a2a(self._inv_rows(y)))
 
     def _polymul_body(self, a, b):
         # both forward transforms ride ONE all_to_all (the forward body
@@ -204,6 +222,65 @@ class ShardedPlan:
         B = a.shape[0]
         fab = self._fwd_body(jnp.concatenate([a, b], axis=0))
         return self._inv_body(self.arith.mul(fab[:B], fab[B:]))
+
+    def _chain_body(self, stacked, k):
+        """Chained products ((a·b1)·b2)…·bk with the middle products
+        consumed in the transposed spectral (four-step) orientation: the
+        inverse transpose of product i and the forward transposes of
+        product i+1 cancel algebraically (T∘T⁻¹, NTT∘INTT, twist∘untwist
+        pairs), so the whole chain is ONE stacked forward collective +
+        k spectral pointwise products + ONE inverse collective — k_t
+        drops from 3 to 2 transform-transposes per product asymptotically
+        (icimodel ``chained=True``; SCALING.md §2 residual-headroom item,
+        VERDICT r3 next #4).  ``stacked``: (B·(k+1), n1, L2) — a then
+        b1..bk along the batch axis."""
+        B = stacked.shape[0] // (k + 1)
+        f = self._fwd_body(stacked)                       # 1 all_to_all
+        acc = f[:B]
+        for j in range(1, k + 1):
+            acc = self.arith.mul(acc, f[j * B:(j + 1) * B])
+        fix = self.arith.pointwise_fix
+        if fix != 1 and k > 1:
+            # each data×data mul carries fix^-1; the inverse untwist
+            # table cancels exactly one — correct the other k-1
+            corr = pow(fix, k - 1, self.params.q)
+            acc = self.arith.mul_const(
+                acc, self._chain_corr_tab(corr))
+        return self._inv_body(acc)                        # 1 all_to_all
+
+    def _chain_corr_tab(self, corr: int):
+        # per-instance memo (an lru_cache on the method would pin self
+        # in a class-level cache for the process lifetime)
+        cache = self.__dict__.setdefault("_corr_tabs", {})
+        if corr not in cache:
+            cache[corr] = self.arith.const_table(
+                np.array([corr], dtype=np.int64))
+        return cache[corr]
+
+    def _polymul_body_overlap(self, a, b):
+        """Double-buffered polymul: the batch splits in halves and each
+        half's all_to_all is issued before the other half's local
+        transform work, so XLA's async collectives ride the ICI transfer
+        under the VPU compute (icimodel ``overlap=True``).  Bit-exact
+        with _polymul_body; 4 collectives of half volume instead of 2."""
+        B = a.shape[0]
+        h = B // 2
+        s0 = jnp.concatenate([a[:h], b[:h]], axis=0)
+        s1 = jnp.concatenate([a[h:], b[h:]], axis=0)
+        l0 = self._fwd_local(s0)
+        t0 = self._fwd_a2a(l0)          # in flight while s1 computes
+        l1 = self._fwd_local(s1)
+        t1 = self._fwd_a2a(l1)
+        f0 = self._fwd_rows(t0)         # rides under t1
+        f1 = self._fwd_rows(t1)
+        p0 = self.arith.mul(f0[:h], f0[h:])
+        p1 = self.arith.mul(f1[:h], f1[h:])
+        z0 = self._inv_a2a(self._inv_rows(p0))
+        z1s = self._inv_rows(p1)        # rides under z0
+        z1 = self._inv_a2a(z1s)
+        c0 = self._inv_finish(z0)       # rides under z1
+        c1 = self._inv_finish(z1)
+        return jnp.concatenate([c0, c1], axis=0)
 
     # ------------------------------------------------------------------
     # public API
@@ -250,3 +327,57 @@ class ShardedPlan:
     def polymul_jit(self):
         return self._smap(self._polymul_body,
                           (self.coef_spec, self.coef_spec), self.coef_spec)
+
+    @functools.cached_property
+    def polymul_overlapped_jit(self):
+        """Double-buffered polymul (comm/compute overlap); batch must be
+        even.  Bit-exact with ``polymul_jit``."""
+        return self._smap(self._polymul_body_overlap,
+                          (self.coef_spec, self.coef_spec), self.coef_spec)
+
+    def polymul_chain_jit(self, k: int):
+        """Jitted k-product chain: f(stacked) with ``stacked`` a
+        (B·(k+1), n1, n2) sharded array holding a, b1..bk along the
+        batch axis; returns (B, n1, n2) = ((a·b1)·…)·bk.  2 collectives
+        total vs 2k for repeated ``polymul_jit`` (volume (k+2)/3k)."""
+        cache = self.__dict__.setdefault("_chain_jits", {})
+        if k not in cache:
+            cache[k] = self._smap(
+                functools.partial(self._chain_body, k=k),
+                (self.coef_spec,), self.coef_spec)
+        return cache[k]
+
+    def polymul_robust(self, a, b, *, deadline_s: float = 300.0,
+                       attempts: int = 3, backoff_s: float = 5.0):
+        """``polymul_jit`` with the failure detector wired in at pod
+        scale: each attempt forces this process's addressable shards to
+        completion under a :func:`~tpu_ntt.utils.watchdog.with_deadline`
+        — so a PEER chip/process that wedges or dies mid-collective
+        surfaces as :class:`~tpu_ntt.utils.watchdog.DeviceTimeout`
+        within the deadline instead of hanging the job (the reference's
+        busy/done-polling-timeout + reboot-after-wedge posture,
+        ``NTT_PCIECommunicationv2.c:56-103``, at process scale).
+        Returns the (possibly multi-process global) device array; use
+        :meth:`unshard` on a single controller."""
+        from ..utils.watchdog import retry
+
+        def attempt():
+            out = self.polymul_jit(a, b)
+            for sh in out.addressable_shards:
+                np.asarray(sh.data)       # force local completion
+            return out
+
+        return retry(attempt, attempts=attempts, timeout_s=deadline_s,
+                     backoff_s=backoff_s)
+
+    def polymul_chain(self, a, bs) -> np.ndarray:
+        """Host-array chain convenience: ((a·bs[0])·bs[1])…, one stacked
+        shard_coeffs in, unsharded product out."""
+        k = len(bs)
+        if k == 0:
+            raise ValueError("polymul_chain needs at least one multiplier")
+        a = np.atleast_2d(np.asarray(a))
+        stacked = np.concatenate([a] + [np.atleast_2d(np.asarray(b))
+                                        for b in bs], axis=0)
+        return self.unshard(self.polymul_chain_jit(k)(
+            self.shard_coeffs(stacked)))
