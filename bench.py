@@ -90,6 +90,47 @@ def _measured_ceiling_s(flavor: str, bf: float, extra_ops: float,
         return None
 
 
+# per-flavor lane-op cost of one constant multiply / one data×data
+# multiply slot (used for the non-butterfly twist/pointwise work of the
+# four-step pipelines in the phase model below)
+MUL_CONST_OPS = {"shoup": 4.0, "f32": 9.0, "mont": 20.0}
+MUL_DATA_OPS = {"shoup": 12.0, "f32": 12.0, "mont": 20.0}
+
+
+def _phase_terms(cal, flavor, phases, unit_bytes):
+    """Per-phase (compute_s, hbm_s) under the measured ceilings."""
+    sub = cal.get("stage_ceiling",
+                  cal["pe_ceiling"])[flavor]["gbf_per_s"] * 1e9
+    lane_tab = cal.get("stage_ceiling_lane")
+    lane = lane_tab[flavor]["gbf_per_s"] * 1e9 if lane_tab else sub
+    bw = float(cal.get("hbm_bytes_per_s") or 6.0e11)
+    out = []
+    for ph in phases:
+        lf = ph.get("lane_frac", 0.0)
+        res = lane if lf >= 0.5 else sub
+        tc = (ph["bf"] * ((1 - lf) / sub + lf / lane)
+              + ph.get("extra_ops", 0.0)
+              / (OPS_PER_BUTTERFLY[flavor] * res))
+        tm = ph.get("passes", 0.0) * unit_bytes / bw
+        out.append((ph.get("name", "?"), tc, tm))
+    return out
+
+
+def _phase_ceiling_fn(flavor, phases, unit_bytes):
+    """Measured-ceiling time of a COMPOSED pipeline: the kernels run
+    serially (each pallas_call consumes the previous one's full HBM
+    output), so the bound is Σ_k max(compute_k, hbm_k) — per-phase
+    roofline, not a single global max.  ``unit_bytes``: bytes of ONE
+    full data pass over the timed call's arrays; each phase counts its
+    HBM traffic in passes (incl. the twist-table re-reads per grid
+    block).  This is the per-row compute-vs-HBM breakdown VERDICT r3
+    task 2 asks for, applied as the ruler itself."""
+    def fn(cal):
+        return sum(max(tc, tm) for _, tc, tm in
+                   _phase_terms(cal, flavor, phases, unit_bytes))
+    return fn
+
+
 def _roofline(flavor: str, bf: float, traffic_bytes: float,
               measured_s: float, extra_ops: float = 0.0,
               lane_frac: float = 0.0, extra_slots: float = 0.0,
@@ -249,6 +290,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     lane_frac = 0.0               # butterflies in lane-roll geometry
     extra_slots = 0.0             # incomplete-NTT basemul output slots
     ceiling_fn = None             # whole-kernel-class ceiling override
+    phases = None                 # serial-kernel phase model (composed)
+    phase_unit = 0.0              # bytes of one data pass (phase model)
 
     if config == "dilithium_matvec":         # ML-DSA A_hat·s_hat, 4x4
         n, q = 256, 8380417
@@ -334,15 +377,21 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         extra_ops = inner * batch * n * ((k - 1) * k * 3 + k * 8)
 
         def ceiling_fn(cal, rows=inner * batch, k=k):
-            # priced from the resident-chained whole-kernel units:
-            # k(k+2) transforms at t_tr = roundtrip/2 (avg of fwd and
-            # inv+scale — matvec has k scales for k inverses, consistent)
-            # + k² basemuls at t_bs = polymul − 3·t_tr (carries one
-            # scale; the (k²−k)-scale overcount ≈ offsets the uncounted
-            # (k−1)k accumulate adds)
+            # priced from the incomplete-class units: k(k+2) transforms
+            # at t_tr = roundtrip/2 (avg of fwd and inv+scale — matvec
+            # has k scales for k inverses, consistent) + k² basemuls at
+            # t_bs = polymul − 3·t_tr (carries one scale; the
+            # (k²−k)-scale overcount ≈ offsets the uncounted (k−1)k
+            # accumulate adds).  The roundtrip is a resident-harness
+            # measurement while the polymul ceiling may be streamed;
+            # scale the roundtrip by the same resident→streamed factor
+            # so the t_p − 3·t_tr subtraction compares like with like
             ik = cal["incomplete_kernel"]
-            t_p = 1.0 / (ik["polymul"]["mrows_per_s"] * 1e6)
-            t_tr = 0.5 / (ik["roundtrip"]["mrows_per_s"] * 1e6)
+            pm = ik["polymul"]
+            t_p = 1.0 / (pm["mrows_per_s"] * 1e6)
+            corr = (pm["mrows_per_s"]
+                    / pm.get("resident_mrows_per_s", pm["mrows_per_s"]))
+            t_tr = 0.5 / (ik["roundtrip"]["mrows_per_s"] * 1e6 * corr)
             t_bs = max(t_p - 3 * t_tr, 0.0)
             return rows * (k * (k + 2) * t_tr + k * k * t_bs)
         # A (k,k,n) + s (k,n) in, out (k,n): per chained matvec
@@ -490,6 +539,63 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             tw_bytes = 2 * k * p.log2n * (n // 2) * 4
             planes = 6 if type(kb).__name__ == "PallasBigQ" else 6 + 6 * k
             traffic = inner * (batch * n * 4 * planes + tw_bytes)
+            if type(kb).__name__ == "PallasBigQ" and n >= 2048:
+                # flat (tile, h) kernel at h = n/2 >= 1024 lanes: roll
+                # distances reach h/2, far past the 512-lane lane unit's
+                # envelope — judge against the wide-lane ruler
+                def ceiling_fn(cal, bf=bf, extra=extra_ops):
+                    w = cal.get("stage_ceiling_lane_wide", {}).get("mont")
+                    if not w:
+                        return None
+                    r = w["gbf_per_s"] * 1e9
+                    return (bf + extra / OPS_PER_BUTTERFLY["mont"]) / r
+            if type(kb).__name__ == "PallasBigQBlocked":
+                # composed pipeline: serial-kernel phase model (split ->
+                # k channel products -> Garner), each phase its own
+                # compute-vs-HBM roofline
+                import math
+                tot = inner * batch
+                phase_unit = tot * n * 4
+                mul_c = MUL_CONST_OPS["mont"]
+                mul_d = MUL_DATA_OPS["mont"]
+                ck0 = kb.channels.kernels[0]
+                l1b = int(math.log2(ck0.n1))
+                l2b = int(math.log2(ck0.n2))
+                phases = [dict(name="rns_split", bf=0.0,
+                               extra_ops=tot * n * 2 * k
+                               * (3 * mul_ops + 8),
+                               passes=4.0 + 2.0 * k)]
+                chan_bf = tot * (n // 2) * p.log2n
+                for i in range(k):
+                    if type(ck0).__name__ == "PallasFourStep":
+                        phases.append(dict(
+                            name=f"chan{i}_fused", bf=3 * chan_bf,
+                            lane_frac=l2b / p.log2n,
+                            extra_ops=tot * n * (3 * mul_c + mul_d),
+                            passes=3.0 + 2.0 / ck0.tile))
+                    else:
+                        colbf = tot * (n // 2) * l1b
+                        rowbf = tot * (n // 2) * l2b
+                        T = ck0.tile
+                        phases += [
+                            dict(name=f"chan{i}_k1a", bf=colbf,
+                                 extra_ops=tot * n * mul_c,
+                                 passes=2.0 + 2.0 / T),
+                            dict(name=f"chan{i}_k1b", bf=colbf,
+                                 extra_ops=tot * n * mul_c,
+                                 passes=2.0 + 2.0 / T),
+                            dict(name=f"chan{i}_k2", bf=3 * rowbf,
+                                 lane_frac=1.0,
+                                 extra_ops=tot * n * (mul_d + mul_c),
+                                 passes=3.0 + 1.0 / T),
+                            dict(name=f"chan{i}_k3", bf=colbf,
+                                 passes=2.0),
+                        ]
+                phases.append(dict(name="garner", bf=0.0,
+                                   extra_ops=tot * n * garner_ops,
+                                   passes=k + 2.0))
+                ceiling_fn = _phase_ceiling_fn("mont", phases,
+                                               phase_unit)
         elif plan.dcrt is not None and plan.stacked is not None:
             # fully device-resident pipeline: chain packed-plane products
             # (output planes feed back as the next multiplicand)
@@ -591,6 +697,41 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                         plan.shard_coeffs(y.astype(np.int64)))),
                     n, q, rng)
         bf = inner * _butterflies(n, p.log2n, batch)
+        if flavor is not None:
+            # phase model (serial Pallas kernels; compute counts the
+            # twist/pointwise multiplies the old accounting omitted)
+            import math
+            tot = inner * batch
+            mul_c, mul_d = MUL_CONST_OPS[flavor], MUL_DATA_OPS[flavor]
+            extra_ops = tot * n * (3 * mul_c + mul_d)
+            phase_unit = tot * n * 4
+            l1b = int(math.log2(plan.n1))
+            l2b = int(math.log2(plan.n2))
+            if backend == "fourstep-pallas":
+                # one kernel: 3 data passes + the 2n-element twist
+                # tables re-read per grid block (tile polys per block)
+                phases = [dict(name="fused", bf=bf,
+                               lane_frac=l2b / p.log2n,
+                               extra_ops=extra_ops,
+                               passes=3.0 + 2.0 / plan.tile)]
+            else:
+                colbf = tot * (n // 2) * l1b
+                rowbf = tot * (n // 2) * l2b
+                T = plan.tile
+                phases = [
+                    dict(name="k1_cols_a", bf=colbf,
+                         extra_ops=tot * n * mul_c,
+                         passes=2.0 + 2.0 / T),
+                    dict(name="k1_cols_b", bf=colbf,
+                         extra_ops=tot * n * mul_c,
+                         passes=2.0 + 2.0 / T),
+                    dict(name="k2_rows", bf=3 * rowbf, lane_frac=1.0,
+                         extra_ops=tot * n * (mul_d + mul_c),
+                         passes=3.0 + 1.0 / T),
+                    dict(name="k3_cols", bf=colbf, passes=2.0),
+                ]
+            ceiling_fn = _phase_ceiling_fn(flavor, phases, phase_unit)
+            traffic = phase_unit * sum(ph["passes"] for ph in phases)
     else:                                    # preset name: sw256/hw256/...
         p = preset(config)
         if backend == "auto":
@@ -604,6 +745,18 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             impl = PallasPolymul(p)
             fn_impl, check_impl = impl.polymul, impl.polymul
             flavor = impl.flavor
+            if not impl.cm:
+                lane_frac = 1.0   # rows layout: coefficients on lanes
+            # whole-kernel units exist only where the resident harness
+            # is a valid ceiling (see calibrate.kernel_class_ceiling)
+            key = {"shoup": "shoup256"}.get(flavor)
+            if p.n == 256 and impl.packed and impl.cm and key:
+                # whole-kernel-class resident ceiling for the n=256
+                # preset rows (calibrate.kernel_class_ceiling: the
+                # shipped kernel minus HBM streaming and dispatch)
+                def ceiling_fn(cal, rows=inner * batch, key=key):
+                    return rows / (cal["kernel_ceiling"][key]
+                                   ["mrows_per_s"] * 1e6)
         elif backend == "mxu":
             from tpu_ntt.ops.matmul_ntt import MatmulNTT
             impl = MatmulNTT(p)
@@ -671,17 +824,32 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
     marg_s = med_s                # fit mode refines to the marginal time
     if fit and mk_fn is not None and inner >= 4:
-        inner2 = inner // 4
-        fn2 = mk_fn(inner2)
-        _sync(fn2())              # compile
-        med2, _, min2 = _timeit(fn2, iters, warmup)
         # Relay stalls are one-sided noise (a dispatch occasionally
         # stalls for tens of ms but is never early), so MIN times are
-        # the clean estimator for the fit — a single stalled median at
-        # either chain length otherwise swings the slope wildly and can
-        # produce physically impossible marginal rates (>100% of the
-        # compute bound).
-        slope = (min_s - min2) / (inner - inner2)
+        # the clean estimator for the fit.  THREE chain lengths with a
+        # least-squares slope (round 4): the previous two-point slope
+        # was noise-sensitive enough to publish physically impossible
+        # marginal rates a few percent past the measured ceiling (the
+        # r3 kyber 103% / matvec >100% artifacts).
+        # interleaved double visit per chain length, min across visits:
+        # the relay's health drifts on ~minute scales, and a fit whose
+        # three lengths see different weather produces slopes ±15% off
+        # (observed r4) — revisiting each length after the others and
+        # keeping mins cancels the drift
+        fns = {inner: fn}
+        for iv in (inner // 2, inner // 4):
+            fns[iv] = mk_fn(iv)
+            _sync(fns[iv]())      # compile
+        pts = {inner: min_s}
+        for visit in range(2):
+            for iv, f2 in fns.items():
+                _, _, m2 = _timeit(f2, max(4, iters // 2), 1)
+                pts[iv] = min(pts.get(iv, np.inf), m2)
+        min_s = pts[inner]        # best observed full-length time
+        xs = np.array(list(pts), float)
+        ys = np.array([pts[iv] for iv in pts], float)
+        den = ((xs - xs.mean()) ** 2).sum()
+        slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum() / den)
         if slope > 0:
             cand = slope * inner
             if flavor is not None:
@@ -696,7 +864,14 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                                               lane_frac, extra_slots,
                                               ceiling_fn)
                 if t_floor is not None:
-                    t_floor = t_floor / 1.05        # 5% fit tolerance
+                    # fit tolerance: 5% when the floor is fully
+                    # measured; 15% when op-model extra_ops contribute
+                    # materially (their hand-counted weights carry more
+                    # error than the measurement being gated — the r4
+                    # dilithium_matvec false-positive fired at 0.1%)
+                    modeled = (ceiling_fn is None and extra_ops
+                               > 0.05 * OPS_PER_BUTTERFLY[flavor] * bf)
+                    t_floor = t_floor / (1.15 if modeled else 1.05)
                 else:
                     from tpu_ntt.utils.profiling import \
                         DEFAULT_VPU_INT_OPS
@@ -724,6 +899,21 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                                 extra_ops=extra_ops, lane_frac=lane_frac,
                                 extra_slots=extra_slots,
                                 ceiling_fn=ceiling_fn))
+        if phases:
+            # commit the per-phase compute-vs-HBM split alongside the
+            # fraction so a sub-ceiling row carries its own diagnosis
+            from tpu_ntt.utils.calibrate import load_calibration
+            cal = load_calibration()
+            if cal is not None:
+                try:
+                    detail["phase_breakdown"] = [
+                        {"phase": nm, "compute_ms": round(tc * 1e3, 3),
+                         "hbm_ms": round(tm * 1e3, 3),
+                         "bound": "hbm" if tm > tc else "compute"}
+                        for nm, tc, tm in _phase_terms(
+                            cal, flavor, phases, phase_unit)]
+                except (TypeError, KeyError):
+                    pass
         if "pe_fraction" in detail:
             log(f"[bench] {config}: {100 * detail['pe_fraction']:.0f}% of "
                 f"the measured stage speed-of-light ({flavor}"
@@ -749,27 +939,34 @@ SWEEP = [("sw256", 8192, 512), ("bigq62", 256, 16),
          ("kyber", 8192, 256), ("dilithium256", 8192, 256),
          ("large", 16, 256), ("large23", 16, 256), ("xlarge", 4, 64),
          ("hw256", 8192, 512),
-         ("kyber_matvec", 2048, 64), ("dilithium_matvec", 1024, 64)]
+         ("kyber_matvec", 2048, 192), ("dilithium_matvec", 1024, 192)]
 
 # backend matrix for the "one truth table": the same configs through every
-# implementation so the auto choice is a measurement, not a belief.
-# mxu only supports the full-NTT presets (matmul_ntt exactness envelope).
+# implementation so the auto choice is a measurement, not a belief.  All
+# three arithmetic flavors are covered (shoup: sw256/hw256/kyber, f32:
+# dilithium256, mont: n1024_k29); mxu only where the matmul-NTT is exact
+# (q < 2^14, n <= 1024 — ops/matmul_ntt.supported).
 BACKEND_MATRIX = [
     ("sw256", 8192, 512, ("pallas", "xla", "mxu")),
     ("hw256", 8192, 512, ("pallas", "xla", "mxu")),
-    ("dilithium256", 8192, 256, ("pallas", "xla", "mxu")),
+    ("dilithium256", 8192, 256, ("pallas", "xla")),
     ("kyber", 8192, 256, ("pallas", "xla")),
+    ("n1024_k29", 2048, 128, ("pallas", "xla")),
 ]
 
 
 def bench_backends(iters, warmup):
-    """Measure every backend per config; write BACKENDS.json."""
+    """Measure every backend per config with the sweep's methodology
+    (marginal fit, timestamps — VERDICT r3 weak #6); write
+    BACKENDS.json."""
     rows = []
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     for cfg, batch, inner, backends in BACKEND_MATRIX:
         for be in backends:
             try:
                 _, d = bench_config(cfg, batch, iters, warmup, backend=be,
-                                    inner=inner)
+                                    inner=inner, fit=True)
+                d["ts"] = stamp
                 rows.append(d)
             except Exception as e:           # keep measuring
                 log(f"[bench] {cfg}/{be} FAILED: {type(e).__name__}: {e}")
@@ -1037,7 +1234,16 @@ def main():
                 d = None
             if d is not None:
                 if cfg in by_cfg:
-                    details[by_cfg[cfg]] = d
+                    old = details[by_cfg[cfg]]
+                    if (d.get("fit_unstable") and "marginal_gbf" in old
+                            and not old.get("stale")):
+                        # an unstable fit must not overwrite a valid one
+                        # — keep the old row, note the failed refresh
+                        log(f"[bench] {cfg}: fit unstable; keeping the "
+                            f"previous valid row ({old['ts']})")
+                        d = None
+                    else:
+                        details[by_cfg[cfg]] = d
                 else:
                     by_cfg[cfg] = len(details)
                     details.append(d)

@@ -46,6 +46,26 @@ def test_engine_incomplete_pallas_forced(rng):
         c[0], ref.schoolbook_negacyclic(a[0], b[0], 3329))
 
 
+def test_engine_dp_sp_mesh(rng):
+    """A production-shaped mesh (dp x sp axes) through the engine: the
+    transform axis is the innermost mesh axis, the dp axis shards the
+    batch."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tpu_ntt.parallel.multihost import global_mesh
+    mesh = global_mesh(axes=("dp", "sp"), dp=2)
+    eng = PolyMultEngine(n=1024, q=12289, mesh=mesh)
+    assert eng.kind == "sharded"
+    assert eng.plan.axis == "sp" and eng.plan.batch_axis == "dp"
+    a = rng.integers(0, 12289, (2, 1024))
+    b = rng.integers(0, 12289, (2, 1024))
+    c = eng.multiply(a, b)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], 12289))
+
+
 def test_engine_bigq_dispatch(rng):
     from tpu_ntt.params import find_params
     p = find_params(256, 45)

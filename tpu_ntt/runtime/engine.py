@@ -98,7 +98,15 @@ class PolyMultEngine:
                 self._kind = "incomplete"
         elif self.mesh is not None:
             from ..parallel.sharded import ShardedPlan
-            self._plan = ShardedPlan(make_params(n, q), self.mesh)
+            # transform axis: "x" if present, else the LAST mesh axis
+            # (innermost = fastest ICI neighbours); a "dp" axis, if any,
+            # shards the batch
+            names = list(self.mesh.shape)
+            axis = "x" if "x" in self.mesh.shape else names[-1]
+            batch_axis = "dp" if ("dp" in self.mesh.shape
+                                  and axis != "dp") else None
+            self._plan = ShardedPlan(make_params(n, q), self.mesh,
+                                     axis=axis, batch_axis=batch_axis)
             self._kind = "sharded"
         elif n > 8192:
             # large rings, one chip: the fused four-step Pallas kernel
