@@ -433,7 +433,9 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                     lambda f=_chain(plan.polymul, iv): f(a, b))
             fn = mk_fn(inner)
         else:
-            plan = kyber_plan()
+            # explicit backend: force the XLA composition (kyber_plan's
+            # default now auto-dispatches to the fused kernel on TPU)
+            plan = kyber_plan(backend="xla" if backend == "xla" else "auto")
             check = plan.polymul_jit
             mk_fn = lambda iv: (
                 lambda f=_chain(plan.polymul, iv): f(a, b))
@@ -934,9 +936,9 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 # priority (headline, then the BASELINE-config-4 big-q rings, then the
 # scheme kernels) so a sweep cut short by tunnel outages still refreshes
 # the rows that matter most first.
-SWEEP = [("sw256", 8192, 512), ("bigq62", 256, 16),
+SWEEP = [("sw256", 8192, 512), ("bigq62", 256, 32),
          ("bigq65536", 16, 16), ("bigq1m", 2, 8),
-         ("kyber", 8192, 256), ("dilithium256", 8192, 256),
+         ("kyber", 8192, 512), ("dilithium256", 8192, 256),
          ("large", 16, 256), ("large23", 16, 256), ("xlarge", 4, 64),
          ("hw256", 8192, 512),
          ("kyber_matvec", 2048, 192), ("dilithium_matvec", 1024, 192)]

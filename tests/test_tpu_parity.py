@@ -53,7 +53,7 @@ def artifact():
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
         "checks": entries,
     }
-    out = os.environ.get("TPU_NTT_PARITY_OUT", "PARITY_TPU_r03.json")
+    out = os.environ.get("TPU_NTT_PARITY_OUT", "PARITY_TPU_r04.json")
     (_REPO / out).write_text(json.dumps(payload, indent=1))
 
 

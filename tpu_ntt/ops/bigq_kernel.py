@@ -85,6 +85,10 @@ def supported(n: int, primes, q: int, tile: int | None = None) -> bool:
 
 
 def _default_tile(n: int) -> int:
+    # n >= 4096: tile 8 measured ~7% faster than 16 on v5e (smaller
+    # VMEM working set, more grid blocks for Mosaic to pipeline)
+    if n >= 4096:
+        return 8
     return max(8, min(32, (1 << 16) // n))
 
 
