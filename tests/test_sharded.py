@@ -107,12 +107,34 @@ def test_polymul_chain_bit_exact_and_2_collectives(mesh, rng, n, q):
         want = sp.unshard(sp.polymul_jit(sp.shard_coeffs(want),
                                          sp.shard_coeffs(b)))
     np.testing.assert_array_equal(got, want)
-    stacked = sp.shard_coeffs(np.concatenate([a] + bs, axis=0))
+    stacked = sp.shard_chain(a, bs)
     n_chain = _count_a2a(sp.polymul_chain_jit(k), stacked)
     sa = sp.shard_coeffs(a)
     n_single = _count_a2a(sp.polymul_jit, sa, sa)
     assert n_chain == 2, n_chain
     assert n_single == 2, n_single          # so the chain saves 2k-2
+
+
+def test_polymul_chain_dp_sharded(rng):
+    """Chain with the batch axis dp-sharded: operands must ride a NEW
+    leading stack axis — stacking along batch interleaves different
+    operands' rows across dp shards (r4 bug caught by
+    dryrun_multichip on the dp=2 x sp=4 mesh)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tpu_ntt.parallel.multihost import global_mesh
+    m = global_mesh(axes=("dp", "sp"), dp=2)
+    p = make_params(1024, 12289)
+    sp = ShardedPlan(p, m, axis="sp", batch_axis="dp")
+    a = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    bs = [rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+          for _ in range(2)]
+    got = sp.polymul_chain(a, bs)
+    want = a
+    for b in bs:
+        want = sp.unshard(sp.polymul_jit(sp.shard_coeffs(want),
+                                         sp.shard_coeffs(b)))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_polymul_overlapped_bit_exact(mesh, rng):

@@ -335,17 +335,42 @@ class ShardedPlan:
         return self._smap(self._polymul_body_overlap,
                           (self.coef_spec, self.coef_spec), self.coef_spec)
 
+    @property
+    def chain_spec(self):
+        """PartitionSpec of the (k+1, B, n1, n2) chain operand stack:
+        operands on a NEW leading axis, batch on the dp axis — stacking
+        along the batch axis instead would interleave different
+        operands' rows across dp shards (caught by dryrun_multichip on
+        the dp=2 x sp=4 mesh)."""
+        return P(None, self.batch_axis, None, self.axis)
+
     def polymul_chain_jit(self, k: int):
         """Jitted k-product chain: f(stacked) with ``stacked`` a
-        (B·(k+1), n1, n2) sharded array holding a, b1..bk along the
-        batch axis; returns (B, n1, n2) = ((a·b1)·…)·bk.  2 collectives
-        total vs 2k for repeated ``polymul_jit`` (volume (k+2)/3k)."""
+        (k+1, B, n1, n2) array (sharded per :attr:`chain_spec`) holding
+        a, b1..bk on the leading axis; returns (B, n1, n2) =
+        ((a·b1)·…)·bk.  2 collectives total vs 2k for repeated
+        ``polymul_jit`` (volume (k+2)/3k)."""
         cache = self.__dict__.setdefault("_chain_jits", {})
         if k not in cache:
-            cache[k] = self._smap(
-                functools.partial(self._chain_body, k=k),
-                (self.coef_spec,), self.coef_spec)
+            def body(st):
+                # local (k+1, B_loc, n1, L2) -> operand-major flat batch
+                loc = st.reshape((k + 1) * st.shape[1], *st.shape[2:])
+                return self._chain_body(loc, k)
+            cache[k] = self._smap(body, (self.chain_spec,),
+                                  self.coef_spec)
         return cache[k]
+
+    def shard_chain(self, a, bs):
+        """Device-put [a, b1..bk] as the (k+1, B, n1, n2) chain stack."""
+        from ..validation import check_domain
+        ops = [np.atleast_2d(np.asarray(a))] + [
+            np.atleast_2d(np.asarray(b)) for b in bs]
+        for i, x in enumerate(ops):
+            check_domain(x, self.params.q, f"polymul_chain operand {i}")
+        st = np.stack(ops).astype(np.int32).reshape(
+            len(ops), -1, self.n1, self.n2)
+        return jax.device_put(
+            st, NamedSharding(self.mesh, self.chain_spec))
 
     def polymul_robust(self, a, b, *, deadline_s: float = 300.0,
                        attempts: int = 3, backoff_s: float = 5.0):
@@ -372,12 +397,9 @@ class ShardedPlan:
 
     def polymul_chain(self, a, bs) -> np.ndarray:
         """Host-array chain convenience: ((a·bs[0])·bs[1])…, one stacked
-        shard_coeffs in, unsharded product out."""
+        device_put in, unsharded product out."""
         k = len(bs)
         if k == 0:
             raise ValueError("polymul_chain needs at least one multiplier")
-        a = np.atleast_2d(np.asarray(a))
-        stacked = np.concatenate([a] + [np.atleast_2d(np.asarray(b))
-                                        for b in bs], axis=0)
         return self.unshard(self.polymul_chain_jit(k)(
-            self.shard_coeffs(stacked)))
+            self.shard_chain(a, bs)))
