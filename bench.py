@@ -353,7 +353,10 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             backend = "pallas"
         else:
             from tpu_ntt.schemes import kyber_plan
-            plan = kyber_plan()
+            # explicit xla must measure the XLA composition (the plan's
+            # auto dispatch would silently hand back the fused kernel)
+            plan = kyber_plan(backend="xla" if backend == "xla"
+                              else "auto")
             mv = plan.matvec_jit
 
         # chain: feed the output rows back as the next vector (outputs are

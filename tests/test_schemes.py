@@ -136,6 +136,34 @@ def test_fast_dispatch_auto_cpu_stays_xla():
     assert kyber_plan(backend="xla").fast is None
 
 
+def test_explicit_xla_backend_never_accelerated():
+    """backend='xla' is a contract: neither the plan nor the engine may
+    silently re-dispatch to the fused kernel (r4 review finding)."""
+    from tpu_ntt.runtime.engine import PolyMultEngine
+    kp = kyber_plan(backend="xla")
+    assert kp.fast is None
+    assert kp.polymul_jit is not None            # the XLA jit, not fast
+    eng = PolyMultEngine(256, 3329, backend="xla")
+    assert eng.kind == "incomplete"
+    assert eng.plan.fast is None
+
+
+def test_forced_pallas_matvec_jit(rng):
+    """matvec_jit jits the DISPATCHER when fast exists: supported
+    shapes inline the fused kernel; unsupported (c > 4) shapes still
+    compile the XLA composition as one graph (r4 review finding: the
+    bare dispatcher ran the fallback eagerly)."""
+    kp = kyber_plan(backend="pallas")
+    A = rng.integers(0, 3329, (2, 2, 256)).astype(np.int32)
+    s = rng.integers(0, 3329, (2, 256)).astype(np.int32)
+    got = np.asarray(kp.matvec_jit(A, s))
+    np.testing.assert_array_equal(got, _matvec_oracle(A, s, 3329))
+    A5 = rng.integers(0, 3329, (1, 5, 256)).astype(np.int32)
+    s5 = rng.integers(0, 3329, (5, 256)).astype(np.int32)
+    got5 = np.asarray(kp.matvec_jit(A5, s5))
+    np.testing.assert_array_equal(got5, _matvec_oracle(A5, s5, 3329))
+
+
 def test_natural_l2_parameter_point(rng):
     """A q whose 2-power part forces levels=2 NATURALLY (q=2689,
     q-1 = 2^7·21: an order-128 root exists, no 256th) — the L>=2 menu

@@ -150,6 +150,12 @@ def test_polymul_overlapped_bit_exact(mesh, rng):
     want = sp.unshard(sp.polymul_jit(sa, sb))
     np.testing.assert_array_equal(got, want)
     assert _count_a2a(sp.polymul_overlapped_jit, sa, sb) == 4
+    # odd per-shard batch fails loudly, not with a shape error deep in
+    # the shard_map body (r4 review finding)
+    a1 = rng.integers(0, p.q, (1, p.n)).astype(np.int32)
+    with pytest.raises(ValueError, match="PER-SHARD batch"):
+        sp.polymul_overlapped_jit(sp.shard_coeffs(a1),
+                                  sp.shard_coeffs(a1))
 
 
 def test_mesh_divisibility_error(mesh):

@@ -264,6 +264,12 @@ class ShardedPlan:
         under the VPU compute (icimodel ``overlap=True``).  Bit-exact
         with _polymul_body; 4 collectives of half volume instead of 2."""
         B = a.shape[0]
+        if B < 2 or B % 2:
+            raise ValueError(
+                f"polymul_overlapped needs an even PER-SHARD batch to "
+                f"double-buffer (got {B} rows on this shard; with a dp "
+                f"batch axis the global batch must be divisible by "
+                f"2·dp) — use polymul_jit for odd batches")
         h = B // 2
         s0 = jnp.concatenate([a[:h], b[:h]], axis=0)
         s1 = jnp.concatenate([a[h:], b[h:]], axis=0)

@@ -94,15 +94,24 @@ class PolyMultEngine:
                 self._kind = "incomplete-pallas"
             else:
                 from ..schemes import IncompletePlan
-                self._plan = IncompletePlan(n, q)
+                # an EXPLICIT non-auto backend must not be silently
+                # re-accelerated by IncompletePlan's own auto dispatch
+                sub = "auto" if self.backend == "auto" else "xla"
+                self._plan = IncompletePlan(n, q, backend=sub)
                 self._kind = "incomplete"
         elif self.mesh is not None:
             from ..parallel.sharded import ShardedPlan
-            # transform axis: "x" if present, else the LAST mesh axis
-            # (innermost = fastest ICI neighbours); a "dp" axis, if any,
-            # shards the batch
+            # transform axis: "x", then "sp" if named, else the LAST
+            # non-dp axis (innermost = fastest ICI neighbours); a "dp"
+            # axis shards the batch and must never carry the transform
             names = list(self.mesh.shape)
-            axis = "x" if "x" in self.mesh.shape else names[-1]
+            if "x" in names:
+                axis = "x"
+            elif "sp" in names:
+                axis = "sp"
+            else:
+                non_dp = [nm for nm in names if nm != "dp"]
+                axis = (non_dp or names)[-1]
             batch_axis = "dp" if ("dp" in self.mesh.shape
                                   and axis != "dp") else None
             self._plan = ShardedPlan(make_params(n, q), self.mesh,
@@ -146,12 +155,13 @@ class PolyMultEngine:
 
     @staticmethod
     def _tpu_default() -> bool:
-        """True when the default backend is a real accelerator and the
-        fused kernel is the right auto choice (CPU keeps the XLA plan:
-        Pallas would need interpret mode there)."""
+        """True when the default device is a TPU and the fused kernels
+        are the right auto choice (CPU keeps the XLA plan — Pallas
+        would need interpret mode; a GPU backend must also keep the
+        portable XLA path, the pltpu kernels don't lower there)."""
         import jax
         try:
-            return jax.default_backend() != "cpu"
+            return jax.devices()[0].platform == "tpu"
         except Exception:
             return False
 

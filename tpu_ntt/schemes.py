@@ -91,14 +91,17 @@ class IncompletePlan:
             return None
         import jax
         try:
-            on_accel = jax.default_backend() != "cpu"
+            on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
-            on_accel = False
-        if not on_accel and self.backend != "pallas":
+            on_tpu = False
+        # GPU/CPU keep the portable XLA composition under "auto" (the
+        # pltpu kernels don't lower off-TPU); backend="pallas" forces
+        # the kernel in interpret mode there
+        if not on_tpu and self.backend != "pallas":
             return None
         from .ops.butterfly import PallasIncompletePolymul
         return PallasIncompletePolymul(
-            self.n, self.q, interpret=self._interpret or not on_accel)
+            self.n, self.q, interpret=self._interpret or not on_tpu)
 
     def _tables(self):
         p = self.sub.params
@@ -221,9 +224,12 @@ class IncompletePlan:
 
     @functools.cached_property
     def matvec_jit(self):
-        # the fast path is already jitted per (r, c) inside
-        # PallasIncompletePolymul.matvec; jitting the XLA fallback
-        return self.matvec if self.fast is not None \
+        # jit the DISPATCHER: the (r, c) shape branch is static at trace
+        # time, so supported shapes inline the fused kernel and
+        # unsupported ones still compile the whole XLA composition as
+        # one graph (returning the bare dispatcher would run the
+        # fallback eagerly, op by op)
+        return jax.jit(self.matvec) if self.fast is not None \
             else jax.jit(self.matvec_xla)
 
 
