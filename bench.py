@@ -298,7 +298,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         r = c = 4
         A = jnp.asarray(rng.integers(0, q, (batch, r, c, n)), jnp.int32)
         s = jnp.asarray(rng.integers(0, q, (batch, c, n)), jnp.int32)
-        on_tpu = jax.devices()[0].platform != "cpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
         if backend in ("auto", "pallas") and on_tpu:
             from tpu_ntt.ops.matvec import PallasMatvec
             from tpu_ntt.params import preset as _preset
@@ -344,7 +344,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         n, q, k = 256, 3329, 3
         A = jnp.asarray(rng.integers(0, q, (batch, k, k, n)), jnp.int32)
         s = jnp.asarray(rng.integers(0, q, (batch, k, n)), jnp.int32)
-        on_tpu = jax.devices()[0].platform != "cpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
         if backend in ("auto", "pallas") and on_tpu:
             from tpu_ntt.ops.butterfly import PallasIncompletePolymul
             plan = PallasIncompletePolymul(n, q)
@@ -354,10 +354,13 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         else:
             from tpu_ntt.schemes import kyber_plan
             # explicit xla must measure the XLA composition (the plan's
-            # auto dispatch would silently hand back the fused kernel)
+            # auto dispatch would silently hand back the fused kernel);
+            # off-TPU, auto ALSO lands on the XLA path — label honestly
             plan = kyber_plan(backend="xla" if backend == "xla"
                               else "auto")
             mv = plan.matvec_jit
+            if plan.fast is None:
+                backend = "xla"
 
         # chain: feed the output rows back as the next vector (outputs are
         # canonical ring elements, so the chain stays in-domain)
@@ -415,7 +418,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         n, q = 256, 3329
         a = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
         b = jnp.asarray(rng.integers(0, q, (batch, n)), jnp.int32)
-        if backend in ("auto", "pallas") and jax.devices()[0].platform != "cpu":
+        if backend in ("auto", "pallas") and jax.devices()[0].platform == "tpu":
             # THROUGH the public entry: kyber_plan() dispatches to the
             # fused kernel on a real accelerator (VERDICT r3 missing #1
             # done-criterion — the measured row is what a README user
@@ -441,8 +444,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             fn = mk_fn(inner)
         else:
             # explicit backend: force the XLA composition (kyber_plan's
-            # default now auto-dispatches to the fused kernel on TPU)
+            # default now auto-dispatches to the fused kernel on TPU);
+            # off-TPU, auto ALSO lands here — label the row honestly
             plan = kyber_plan(backend="xla" if backend == "xla" else "auto")
+            if plan.fast is None:
+                backend = "xla"
             check = plan.polymul_jit
             mk_fn = lambda iv: (
                 lambda f=_chain(plan.polymul, iv): f(a, b))
@@ -659,7 +665,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
              "large23": lambda: make_params(1 << 16, 7340033),
              "xlarge": lambda: find_params(1 << 20, 28)}[config]()
         n, q = p.n, p.q
-        on_tpu = jax.devices()[0].platform != "cpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
         if backend in ("auto", "pallas") and on_tpu and (
                 fourstep.supported(p) or fourstep.blocked_supported(p)):
             # fused four-step Pallas kernel: the whole product in one VMEM
@@ -746,7 +752,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         if backend == "auto":
             # fastest available: fused Pallas kernel on TPU, else XLA plan
             from tpu_ntt.ops.butterfly import supported
-            on_tpu = jax.devices()[0].platform != "cpu"
+            on_tpu = jax.devices()[0].platform == "tpu"
             backend = "pallas" if (on_tpu and supported(p)) else "xla"
             log(f"[bench] auto backend -> {backend}")
         if backend == "pallas":
@@ -944,7 +950,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 # scheme kernels) so a sweep cut short by tunnel outages still refreshes
 # the rows that matter most first.
 SWEEP = [("sw256", 8192, 512), ("bigq62", 256, 32),
-         ("bigq65536", 16, 16), ("bigq1m", 2, 8),
+         ("bigq65536", 16, 16), ("bigq1m", 2, 24),
          ("kyber", 8192, 512), ("dilithium256", 8192, 256),
          ("large", 16, 256), ("large23", 16, 256), ("xlarge", 4, 64),
          ("hw256", 8192, 512),

@@ -66,6 +66,16 @@ def test_engine_dp_sp_mesh(rng):
             c[i], ref.schoolbook_negacyclic(a[i], b[i], 12289))
 
 
+def test_engine_dp_only_mesh_rejected():
+    """A dp-only mesh must fail loudly: a dp axis shards the batch,
+    never the transform (r4 review finding)."""
+    import jax
+    from jax.sharding import Mesh
+    devs = np.array(jax.devices()[:2])
+    with pytest.raises(ValueError, match="dp"):
+        PolyMultEngine(n=1024, q=12289, mesh=Mesh(devs, ("dp",)))
+
+
 def test_engine_bigq_dispatch(rng):
     from tpu_ntt.params import find_params
     p = find_params(256, 45)

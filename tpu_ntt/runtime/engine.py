@@ -111,9 +111,15 @@ class PolyMultEngine:
                 axis = "sp"
             else:
                 non_dp = [nm for nm in names if nm != "dp"]
-                axis = (non_dp or names)[-1]
-            batch_axis = "dp" if ("dp" in self.mesh.shape
-                                  and axis != "dp") else None
+                if not non_dp:
+                    raise ValueError(
+                        "mesh has only a 'dp' axis — a dp axis shards "
+                        "the batch, never the transform; use "
+                        "parallel.sharded.dp_polymul for pure data "
+                        "parallelism, or name a transform axis "
+                        "'x'/'sp'")
+                axis = non_dp[-1]
+            batch_axis = "dp" if "dp" in self.mesh.shape else None
             self._plan = ShardedPlan(make_params(n, q), self.mesh,
                                      axis=axis, batch_axis=batch_axis)
             self._kind = "sharded"

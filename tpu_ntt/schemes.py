@@ -228,7 +228,9 @@ class IncompletePlan:
         # time, so supported shapes inline the fused kernel and
         # unsupported ones still compile the whole XLA composition as
         # one graph (returning the bare dispatcher would run the
-        # fallback eagerly, op by op)
+        # fallback eagerly, op by op).  Like every *_jit entry in the
+        # library, this skips the opt-in domain validation (tracers);
+        # use matvec() for the validated host boundary.
         return jax.jit(self.matvec) if self.fast is not None \
             else jax.jit(self.matvec_xla)
 
