@@ -64,6 +64,12 @@ def test_engine_dp_sp_mesh(rng):
     for i in range(2):
         np.testing.assert_array_equal(
             c[i], ref.schoolbook_negacyclic(a[i], b[i], 12289))
+    # a batch NOT divisible by dp (1 row on dp=2) is padded internally
+    # — the self_test ladder sends 1-row products (r4 review follow-up)
+    c1 = eng.multiply(a[:1], b[:1])
+    np.testing.assert_array_equal(c1, c[:1])
+    rep = eng.self_test()
+    assert rep.ok, str(rep)
 
 
 def test_engine_dp_only_mesh_rejected():

@@ -191,9 +191,20 @@ class PolyMultEngine:
                                       np.asarray(b, dtype=np.uint64))
         if self._kind == "sharded":
             sp = self._plan
-            return sp.unshard(sp.polymul_jit(
-                sp.shard_coeffs(np.atleast_2d(a)),
-                sp.shard_coeffs(np.atleast_2d(b))))
+            a2 = np.atleast_2d(np.asarray(a))
+            b2 = np.atleast_2d(np.asarray(b))
+            rows = a2.shape[0]
+            # a dp batch axis needs the batch divisible by its size:
+            # zero-pad (zeros are valid ring elements) and slice after
+            dp = sp.mesh.shape[sp.batch_axis] if sp.batch_axis else 1
+            pad = (-rows) % dp
+            if pad:
+                z = np.zeros((pad, a2.shape[1]), dtype=a2.dtype)
+                a2 = np.concatenate([a2, z])
+                b2 = np.concatenate([b2, z])
+            out = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a2),
+                                            sp.shard_coeffs(b2)))
+            return out[:rows]
         a = np.asarray(a, dtype=np.int64).astype(np.int32)
         b = np.asarray(b, dtype=np.int64).astype(np.int32)
         if self._kind in ("pallas", "incomplete-pallas", "fourstep-pallas",
