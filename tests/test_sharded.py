@@ -115,6 +115,18 @@ def test_polymul_chain_bit_exact_and_2_collectives(mesh, rng, n, q):
     assert n_single == 2, n_single          # so the chain saves 2k-2
 
 
+def test_polymul_chain_k1_degenerates_to_polymul(mesh, rng):
+    """A 1-chain is exactly one product (no fix correction path)."""
+    p = make_params(1024, 12289)
+    sp = ShardedPlan(p, mesh)
+    a = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    got = sp.polymul_chain(a, [b])
+    want = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a),
+                                     sp.shard_coeffs(b)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_polymul_chain_dp_sharded(rng):
     """Chain with the batch axis dp-sharded: operands must ride a NEW
     leading stack axis — stacking along batch interleaves different
