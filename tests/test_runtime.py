@@ -46,6 +46,21 @@ def test_engine_incomplete_pallas_forced(rng):
         c[0], ref.schoolbook_negacyclic(a[0], b[0], 3329))
 
 
+def test_engine_explicit_pallas_outside_envelope_raises():
+    """An EXPLICIT backend='pallas' outside the fused incomplete
+    kernel's structural envelope is a contract violation and must raise,
+    mirroring the xla posture — not silently degrade to the XLA
+    IncompletePlan (ADVICE r4 #1)."""
+    # (q-1) % n != 0: no size-n/2 incomplete sub-transform exists
+    with pytest.raises(ValueError, match="backend='pallas'"):
+        PolyMultEngine(n=256, q=3331, backend="pallas")
+    # q ≡ 1 (mod n) but q >= 2^14: outside the lazy-Shoup width bound
+    # (16641 = 65·256 + 1, 16640 % 512 != 0 so this is the incomplete
+    # branch, and 16641 >= 2^14 fails the envelope)
+    with pytest.raises(ValueError, match="backend='pallas'"):
+        PolyMultEngine(n=256, q=16641, backend="pallas")
+
+
 def test_engine_dp_sp_mesh(rng):
     """A production-shaped mesh (dp x sp axes) through the engine: the
     transform axis is the innermost mesh axis, the dp axis shards the

@@ -201,6 +201,50 @@ def test_scaling_sweep(mesh):
     assert res[1]["devices"] == 2 and res[1]["n"] == 2048
 
 
+def test_scaling_sweep_marks_truncation(mesh):
+    """Device counts past reality are MARKED skipped rows, not silently
+    dropped — a truncated sweep must be distinguishable from a complete
+    one (VERDICT r4 weak #4)."""
+    from tpu_ntt.parallel.multihost import scaling_sweep
+    from tpu_ntt.params import make_params
+
+    res = scaling_sweep(lambda d: make_params(1024 * d, 786433),
+                        [1, 64], iters=1)
+    assert len(res) == 2
+    assert res[0]["efficiency"] == 1.0 and not res[0].get("skipped")
+    assert res[1] == {"devices": 64, "skipped": True,
+                      "reason": "only 8 devices present"}
+
+
+def test_initialize_raises_on_configured_failure(monkeypatch):
+    """A distributed-looking environment whose initialize fails must
+    raise, not silently degrade to single-host; a genuinely unconfigured
+    single host stays a quiet no-op (VERDICT r4 weak #4)."""
+    import jax
+    from tpu_ntt.parallel import multihost
+
+    def boom(*a, **k):
+        raise RuntimeError("cannot connect to coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+
+    # unconfigured: quiet no-op
+    for k in multihost._DIST_ENV:
+        monkeypatch.delenv(k, raising=False)
+    multihost.initialize()
+
+    # env-configured: the failure surfaces
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "badhost:1234")
+    with pytest.raises(RuntimeError, match="refusing to degrade"):
+        multihost.initialize()
+
+    # explicit-args path: jax's own error propagates untouched
+    monkeypatch.delenv("COORDINATOR_ADDRESS")
+    with pytest.raises(RuntimeError, match="cannot connect"):
+        multihost.initialize(coordinator="badhost:1234",
+                             num_processes=2, process_id=0)
+
+
 def test_global_mesh_shape():
     from tpu_ntt.parallel.multihost import global_mesh
     m = global_mesh(dp=2)

@@ -1620,8 +1620,11 @@ class PallasIncompletePolymul:
             return False
         if c > 4 or c < 1 or r < 1:
             return False
+        # same constant as _matvec_call's tile-shrink target (12 MB data
+        # budget at the minimum 128-lane tile) so this check exactly
+        # matches the envelope the call can honor (ADVICE r4 #2)
         planes = 2 * r * c + 2 * c + 2 * r + 8
-        return planes * self.n * 4 * 128 < (14 << 20)
+        return planes * self.n * 4 * 128 < (12 << 20)
 
     def _matvec_call(self, r: int, c: int):
         """Jitted fused module-product kernel for a static (r, c) shape.

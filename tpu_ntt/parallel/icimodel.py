@@ -95,9 +95,13 @@ def bytes_per_chip(n: int, d: int, batch: int = 4,
 
 def t_comm(n: int, d: int, chip: ChipGen, batch: int = 4,
            chained: bool = False) -> float:
-    """All_to_all seconds on a 1-D bidirectional ring: per-link bytes =
-    V·D/8 with V the per-chip payload (D(D-1) messages of V/D bytes at
-    mean shortest-path hop D/4 each direction over 2D directed links)."""
+    """All_to_all seconds on a 1-D bidirectional ring.  Derivation from
+    the full per-chip resend volume ``full = V·D/(D-1)`` (V is the
+    off-chip payload returned by :func:`bytes_per_chip`, which already
+    carries the (D-1)/D stay-local factor): each chip sends D-1 messages
+    of ``full/D`` bytes, mean shortest-path hop D/4 per direction, over
+    2D directed links — total link-crossings D(D-1)·(full/D)·(D/4)
+    shared by 2D links = ``full·(D-1)/8`` bytes per link."""
     if d <= 1:
         return 0.0
     v = bytes_per_chip(n, d, batch, chained)

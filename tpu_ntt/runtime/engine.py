@@ -83,10 +83,20 @@ class PolyMultEngine:
             # the way the reference FSM always reaches the PE array
             # (PolyMult.v:110-124); backend="pallas" forces it (interpret
             # mode on CPU)
-            use_pallas = (q < (1 << 14) and (q - 1) % n == 0 and n >= 16
-                          and (self.backend == "pallas"
-                               or (self.backend == "auto"
-                                   and self._tpu_default())))
+            envelope_ok = q < (1 << 14) and (q - 1) % n == 0 and n >= 16
+            if self.backend == "pallas" and not envelope_ok:
+                # an EXPLICIT backend is a contract (mirroring the xla
+                # posture below): q outside the fused incomplete kernel's
+                # structural envelope must fail loudly, not silently
+                # degrade to the XLA IncompletePlan (ADVICE r4 #1)
+                raise ValueError(
+                    f"backend='pallas' requested but the fused "
+                    f"incomplete-NTT kernel does not cover n={n}, "
+                    f"q={q} (needs q < 2^14, q ≡ 1 mod n, n >= 16); "
+                    f"use backend='auto' for automatic fallback")
+            use_pallas = envelope_ok and (
+                self.backend == "pallas"
+                or (self.backend == "auto" and self._tpu_default()))
             if use_pallas:
                 from ..ops.butterfly import PallasIncompletePolymul
                 self._plan = PallasIncompletePolymul(
