@@ -42,8 +42,9 @@ _LMASK = (1 << _LIMB) - 1
 
 def supported(params: NTTParams) -> bool:
     """Two 7-bit limbs cover q < 2^14; f32 accumulation is exact while
-    n·127² < 2^24, i.e. n ≤ 1024."""
-    return params.q < (1 << 14) and params.n <= 1024 and params.negacyclic
+    n·127² < 2^24, i.e. n ≤ 1024.  Cyclic (psi=0) works too — the
+    merged-twist column degenerates to all-ones."""
+    return params.q < (1 << 14) and params.n <= 1024
 
 
 class MatmulNTT:
@@ -52,7 +53,7 @@ class MatmulNTT:
     def __init__(self, params: NTTParams):
         if not supported(params):
             raise ValueError(
-                f"MatmulNTT needs q < 2^14, n <= 1024, negacyclic "
+                f"MatmulNTT needs q < 2^14, n <= 1024 "
                 f"(got n={params.n}, q={params.q})")
         self.params = params
         self.arith = ShoupArith(params.q)
@@ -71,9 +72,9 @@ class MatmulNTT:
             exps = (i[:, None] * np.asarray(rev)[None, :]) % n
             return psi_col[:, None] * wp[exps] % q * extra % q
 
-        F = powmat(p.psi, p.omega)
+        F = powmat(p.psi or 1, p.omega)      # psi=0 (cyclic): no twist
         # inverse: G[pos, j] = psi^-j · n^-1 · omega^(-bitrev(pos)·j)
-        Ginv = powmat(p.psi_inv, p.omega_inv, modinv(p.n, q)).T
+        Ginv = powmat(p.psi_inv or 1, p.omega_inv, modinv(p.n, q)).T
         self._F = self._limbs(F)
         self._G = self._limbs(Ginv)
         c14 = (1 << 2 * _LIMB) % q

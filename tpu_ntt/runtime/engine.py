@@ -56,28 +56,47 @@ class PolyMultEngine:
     """High-level dispatcher over every transform backend."""
 
     def __init__(self, n: int = 256, q: int = 12289, mesh=None,
-                 backend: str = "auto"):
+                 backend: str = "auto", negacyclic: bool = True):
         from ..utils.jaxcache import enable_compile_cache
         enable_compile_cache()
         self.n, self.q = n, q
         self.mesh = mesh
         self.backend = backend
+        self.negacyclic = negacyclic
         self._plan: Any = None
         self._kind = ""
         self._build()
 
     def _build(self):
-        """Mode-0 analog: choose + build the plan (twiddle generation)."""
+        """Mode-0 analog: choose + build the plan (twiddle generation).
+
+        ``negacyclic=False`` selects Z_q[x]/(x^n - 1) — the HARDWARE's
+        own product semantics (PolyMult.v:176-238 computes the cyclic
+        product; no psi twist anywhere in the RTL flow) — and reaches
+        the same fused kernels with psi=0 tables (VERDICT r4 missing #2).
+        A cyclic ring only needs omega of order n, so the structural
+        requirement relaxes from q ≡ 1 (mod 2n) to q ≡ 1 (mod n)."""
         from ..params import make_params
         n, q = self.n, self.q
+        step = 2 * n if self.negacyclic else n
         if q.bit_length() > 29:
+            if not self.negacyclic:
+                raise NotImplementedError(
+                    "big-q RNS path is negacyclic-only (the channel "
+                    "transforms and the signed-Garner range analysis "
+                    "assume x^n + 1)")
             from ..bigq import BigQPlan
             p = make_params(n, q) if (q - 1) % (2 * n) == 0 else None
             if p is None:
                 raise ValueError("big q must be NTT-friendly (q ≡ 1 mod 2n)")
             self._plan = BigQPlan(p, mesh=self.mesh)
             self._kind = "bigq"
-        elif (q - 1) % (2 * n) != 0:
+        elif (q - 1) % step != 0:
+            if not self.negacyclic:
+                raise NotImplementedError(
+                    f"cyclic ring needs q ≡ 1 (mod n) for a full NTT "
+                    f"(got n={n}, q={q}); the incomplete-NTT fallback "
+                    f"is negacyclic-only")
             # the fused incomplete-NTT kernel is the DEFAULT on a real
             # accelerator — the mode dispatch must reach the fast path
             # the way the reference FSM always reaches the PE array
@@ -115,7 +134,11 @@ class PolyMultEngine:
             # non-dp axis (innermost = fastest ICI neighbours); a "dp"
             # axis shards the batch and must never carry the transform
             names = list(self.mesh.shape)
-            if "x" in names:
+            if "sp1" in names and "sp2" in names:
+                # hierarchical 2-D sp mesh: per-axis exchange, each
+                # all_to_all rides its own torus dimension
+                axis = ("sp1", "sp2")
+            elif "x" in names:
                 axis = "x"
             elif "sp" in names:
                 axis = "sp"
@@ -130,7 +153,9 @@ class PolyMultEngine:
                         "'x'/'sp'")
                 axis = non_dp[-1]
             batch_axis = "dp" if "dp" in self.mesh.shape else None
-            self._plan = ShardedPlan(make_params(n, q), self.mesh,
+            self._plan = ShardedPlan(make_params(n, q,
+                                                 negacyclic=self.negacyclic),
+                                     self.mesh,
                                      axis=axis, batch_axis=batch_axis)
             self._kind = "sharded"
         elif n > 8192:
@@ -139,7 +164,7 @@ class PolyMultEngine:
             # ShardedPlan four-step on a 1-device mesh otherwise (CPU, or
             # shapes/moduli outside the kernel's envelope)
             from ..ops import fourstep
-            p = make_params(n, q)
+            p = make_params(n, q, negacyclic=self.negacyclic)
             if (self.backend in ("auto", "pallas") and self._tpu_default()
                     and fourstep.supported(p)):
                 self._plan = fourstep.PallasFourStep(p)
@@ -158,15 +183,18 @@ class PolyMultEngine:
         elif self.backend == "pallas" or (self.backend == "auto"
                                           and self._tpu_default()):
             from ..ops.butterfly import PallasPolymul
-            self._plan = PallasPolymul(make_params(n, q))
+            self._plan = PallasPolymul(
+                make_params(n, q, negacyclic=self.negacyclic))
             self._kind = "pallas"
         elif self.backend == "mxu":
             from ..ops.matmul_ntt import MatmulNTT
-            self._plan = MatmulNTT(make_params(n, q))
+            self._plan = MatmulNTT(
+                make_params(n, q, negacyclic=self.negacyclic))
             self._kind = "mxu"
         else:
             from ..transform import Plan
-            self._plan = Plan(make_params(n, q))
+            self._plan = Plan(make_params(n, q,
+                                          negacyclic=self.negacyclic))
             self._kind = "xla"
 
     @staticmethod
@@ -298,7 +326,7 @@ class PolyMultEngine:
             from ..transform import Plan
             from ..params import make_params
             plan = self._plan if self._kind == "xla" else Plan(
-                make_params(self.n, self.q))
+                make_params(self.n, self.q, negacyclic=self.negacyclic))
             rng = np.random.default_rng(0)
             v = rng.integers(0, self.q, (2, self.n)).astype(np.int32)
             f = plan.forward_jit(v)
@@ -310,6 +338,8 @@ class PolyMultEngine:
 
         # 3. known small product — the RTL testbench vector
         #    (1+2x+3x^2)(2+2x) = 2+6x+10x^2+6x^3 (NTT_PolyMul_test.v:165-196)
+        #    deg(a)+deg(b) < n, so cyclic and negacyclic rings agree —
+        #    exactly the regime the hardware flow is exact in (SURVEY §0)
         a = np.zeros(self.n, dtype=np.int64)
         b = np.zeros(self.n, dtype=np.int64)
         a[:3] = [1, 2, 3]
@@ -325,8 +355,9 @@ class PolyMultEngine:
         ra = rng.integers(0, self.q, self.n)
         rb = rng.integers(0, self.q, self.n)
         rc = np.asarray(self.multiply(ra[None], rb[None]))[0]
-        want = ref.schoolbook_negacyclic(ra.astype(object),
-                                        rb.astype(object), self.q)
+        oracle = (ref.schoolbook_negacyclic if self.negacyclic
+                  else ref.schoolbook_cyclic)
+        want = oracle(ra.astype(object), rb.astype(object), self.q)
         rep.add("random product vs schoolbook",
                 bool(np.array_equal(rc.astype(object), want.astype(object))),
                 f"total {time.time() - t0:.2f}s, backend={self._kind}")
