@@ -43,8 +43,21 @@ u64 ntt_invmod64(u64 a, u64 q) {        // q prime
     return ntt_powmod64(a, q - 2, q);
 }
 
+// overflow-safe a+b / a-b mod q for a, b < q and ANY q < 2^64 (a + b can
+// wrap u64 when q > 2^63 — the wrap is detected as s < a)
+static inline u64 addmod64(u64 a, u64 b, u64 q) {
+    u64 s = a + b;
+    if (s < a || s >= q) s -= q;
+    return s;
+}
+
+static inline u64 submod64(u64 a, u64 b, u64 q) {
+    return a >= b ? a - b : a + (q - b);
+}
+
 // ---------------------------------------------------------------------------
-// Reference iterative NTT over uint64 (any q < 2^62) — the big-q oracle.
+// Reference iterative NTT over uint64 (any q < 2^64; butterfly add/sub
+// are wrap-aware so q past 2^63 is exact) — the big-q oracle.
 // Forward: Cooley-Tukey std2rev (natural in, bit-reversed out).
 // Inverse: Gentleman-Sande rev2std (bit-reversed in, natural out), n^-1
 // folded by the caller or via ntt_polymul64 below.
@@ -62,8 +75,8 @@ static void fwd_ct_std2rev(u64* a, size_t n, u64 q, const u64* stage_tw) {
             for (size_t s = 0; s < d; s++) {
                 u64 x = ntt_mulmod64(blk[s + d], w, q);
                 u64 lo = blk[s];
-                blk[s + d] = (lo + q - x) % q;
-                blk[s] = (lo + x) % q;
+                blk[s + d] = submod64(lo, x, q);
+                blk[s] = addmod64(lo, x, q);
             }
         }
     }
@@ -77,8 +90,8 @@ static void inv_gs_rev2std(u64* a, size_t n, u64 q, const u64* stage_tw) {
             u64* blk = a + 2 * d * j;
             for (size_t s = 0; s < d; s++) {
                 u64 lo = blk[s], hi = blk[s + d];
-                blk[s] = (lo + hi) % q;
-                blk[s + d] = ntt_mulmod64((lo + q - hi) % q, w, q);
+                blk[s] = addmod64(lo, hi, q);
+                blk[s + d] = ntt_mulmod64(submod64(lo, hi, q), w, q);
             }
         }
     }
@@ -239,7 +252,9 @@ void ntt_crt_garner(const int32_t* residues, int k, size_t n,
             if ((i & 1) || i == k - 1) acc %= q;  // keep below 2^92
         }
         u64 x = (u64)acc;
-        if (negative) x = (x + q - Mq % q) % q;
+        // subtract M mod q with no u64 overflow even for q close to
+        // 2^64 (x + q would wrap): both branches stay below q
+        if (negative) x = (x >= Mq) ? x - Mq : x + (q - Mq);
         out[j] = x;
     }
 }
@@ -257,7 +272,7 @@ void ntt_schoolbook_negacyclic64(const u64* a, const u64* b, size_t n,
         for (size_t i = kk + 1; i < n; i++)
             acc_neg += (u128)(a[i] % q) * (b[n + kk - i] % q) % q;
         u64 pos = (u64)(acc_pos % q), neg = (u64)(acc_neg % q);
-        c[kk] = (pos + q - neg) % q;
+        c[kk] = submod64(pos, neg, q);
     }
 }
 

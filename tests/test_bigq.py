@@ -65,7 +65,7 @@ def test_bigq_sharded_channels(rng):
 
 def test_bigq_rejects_oversize_q():
     p = find_params(256, 62)
-    object.__setattr__(p, "q", 1 << 63)  # forged — constructor must reject
+    object.__setattr__(p, "q", 1 << 65)  # forged — constructor must reject
     with pytest.raises(ValueError):
         BigQPlan(p)
 
@@ -367,3 +367,103 @@ def test_bigq_plan_prefers_fused_kernel_when_supported(monkeypatch):
     p2 = find_params(1 << 14, 45)
     plan2 = BigQPlan(p2, backend="pallas")
     assert isinstance(plan2.fused_kernel, PallasBigQBlocked)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit q (the full K<=64 claim of defines.v:42) — VERDICT r4 missing #1
+# ---------------------------------------------------------------------------
+
+GOLDILOCKS = 0xFFFFFFFF00000001          # 2^64 - 2^32 + 1, q-1 = 2^32·(2^32-1)
+
+
+def test_bigq_64bit_goldilocks_vs_schoolbook(rng):
+    """Full 64-bit NTT prime through BigQPlan: wide (true 32-bit halves)
+    plane packing, one more RNS channel from the re-derived signed-Garner
+    headroom, bit-exact vs the schoolbook at the extreme corners."""
+    from tpu_ntt.params import make_params
+    q = GOLDILOCKS
+    assert q.bit_length() == 64
+    p = make_params(256, q)
+    plan = BigQPlan(p, backend="xla")
+    assert plan.wide and plan.dcrt is not None and plan.dcrt.limb.wide
+    a = rng.integers(0, q, (2, 256), dtype=np.uint64)
+    b = rng.integers(0, q, (2, 256), dtype=np.uint64)
+    a[0, 0] = q - 1
+    b[0, 0] = q - 1                       # worst-case signed magnitude
+    c = plan.polymul(a, b)
+    for i in range(2):
+        want = ref.schoolbook_negacyclic(a[i].astype(object),
+                                         b[i].astype(object), q)
+        np.testing.assert_array_equal(c[i].astype(object),
+                                      want.astype(object))
+
+
+def test_bigq_64bit_native_oracle_agrees(rng):
+    """The csrc u64 NTT oracle (__int128 arithmetic, wrap-aware
+    butterflies) and the native Garner CRT agree with the device pipeline
+    at a 64-bit q — three independent implementations, one answer."""
+    from tpu_ntt.params import make_params
+    from tpu_ntt.runtime.native import load
+    nat = load()
+    if nat is None:
+        pytest.skip("native core not built")
+    q = GOLDILOCKS
+    p = make_params(256, q)
+    plan = BigQPlan(p, backend="xla")
+    a = rng.integers(0, q, (1, 256), dtype=np.uint64)
+    b = rng.integers(0, q, (1, 256), dtype=np.uint64)
+    a[0, 0] = q - 1
+    want = plan.polymul(a, b)
+    got = nat.polymul64(a[0], b[0], q, p.psi)
+    np.testing.assert_array_equal(got, np.asarray(want[0]))
+    # host-CRT path (native __int128 Garner, the u64-overflow-safe
+    # signed centering)
+    ra, rb = plan._split(a), plan._split(b)
+    prods = np.asarray(plan.stacked.polymul_jit(ra, rb))
+    np.testing.assert_array_equal(plan._reconstruct(prods), want)
+
+
+def test_fused_bigq_kernel_64bit_matches_plan(rng):
+    """The ONE-kernel PallasBigQ at a 64-bit q (wide chunk weights
+    2^16/2^32/2^48, wide Garner output packing) matches the XLA
+    pipeline."""
+    from tpu_ntt.ops.bigq_kernel import PallasBigQ, supported
+    q = GOLDILOCKS
+    from tpu_ntt.params import make_params
+    p = make_params(256, q)
+    plan = BigQPlan(p, backend="xla")
+    assert supported(256, plan.primes, q)
+    kb = PallasBigQ(256, plan.primes, q, tile=8, interpret=True)
+    assert kb.wide
+    a = rng.integers(0, q, (2, 256), dtype=np.uint64)
+    b = rng.integers(0, q, (2, 256), dtype=np.uint64)
+    a[0, 0] = q - 1
+    b[0, 0] = q - 1
+    np.testing.assert_array_equal(kb.polymul(a, b), plan.polymul(a, b))
+
+
+def test_pallas_split_garner_kernels_wide(rng):
+    """The standalone split/Garner kernels in wide mode are bit-exact
+    twins of the wide DeviceCRT (the blocked large-n 64-bit path)."""
+    from tpu_ntt.bigq import DeviceCRT, select_rns_primes
+    from tpu_ntt.ops.bigq_kernel import PallasGarner, PallasRNSSplit
+    from tpu_ntt.ops.limb import pack_u64_planes, unpack_u64_planes
+    q = GOLDILOCKS
+    n = 4096
+    primes = select_rns_primes(n, 1 + 12 + 2 * 64 + 1)
+    dcrt = DeviceCRT(primes, q)
+    assert dcrt.limb.wide
+    vals = rng.integers(0, q, (1, n), dtype=np.uint64)
+    vals[0, 0] = q - 1
+    lo, hi = (np.asarray(t) for t in pack_u64_planes(vals, wide=True))
+    sp = PallasRNSSplit(primes, interpret=True, wide=True)
+    res = np.asarray(sp.split_planes(lo, hi))
+    np.testing.assert_array_equal(res, np.asarray(dcrt.split(lo, hi)))
+    g = PallasGarner(primes, q, interpret=True)
+    glo, ghi = g.garner_planes(res)
+    wlo, whi = dcrt.reconstruct(res)
+    np.testing.assert_array_equal(np.asarray(glo), np.asarray(wlo))
+    np.testing.assert_array_equal(np.asarray(ghi), np.asarray(whi))
+    back = unpack_u64_planes(np.asarray(glo), np.asarray(ghi), wide=True)
+    np.testing.assert_array_equal(back, vals)
+

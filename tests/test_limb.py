@@ -147,3 +147,46 @@ def test_limb_fuzz_random_moduli(rng):
         for v, c in zip(vs, cs):
             want += v.astype(object) * c
         assert np.array_equal(got, want % q), (trial, qbits, q, n_terms)
+
+
+def test_wide_pack_roundtrip_and_chunks(rng):
+    """Wide (true 32-bit halves) packing covers the full u64 range; the
+    16-bit chunk extraction reassembles every value exactly even with
+    the int32 sign bit set."""
+    import jax
+    import jax.numpy as jnp
+    x = rng.integers(0, 1 << 63, 4096, dtype=np.uint64) * 2 + 1
+    x[:4] = [0, (1 << 64) - 1, 0xFFFFFFFF00000000, 0x00000000FFFFFFFF]
+    lo, hi = pack_u64_planes(x, wide=True)
+    assert lo.dtype == np.int32 and hi.dtype == np.int32
+    np.testing.assert_array_equal(unpack_u64_planes(lo, hi, wide=True), x)
+    la = LimbArith((1 << 64) - 59)        # 64-bit modulus -> wide
+    assert la.wide and la.chunk_shifts == (16, 32, 48)
+    c0, c1, c2, c3 = jax.jit(la.planes_to_16bit)(jnp.asarray(lo),
+                                                 jnp.asarray(hi))
+    got = (np.asarray(c0).astype(object)
+           + (np.asarray(c1).astype(object) << 16)
+           + (np.asarray(c2).astype(object) << 32)
+           + (np.asarray(c3).astype(object) << 48))
+    np.testing.assert_array_equal(got, x.astype(object))
+
+
+def test_wide_limbs_to_planes_roundtrip(rng):
+    """limbs_to_planes in wide mode inverts the 15-bit decomposition for
+    values up to 2^64 - 1."""
+    import jax.numpy as jnp
+    q = (1 << 64) - 59
+    la = LimbArith(q)
+    vals = rng.integers(0, 1 << 63, 512, dtype=np.uint64) * 2 + 1
+    vals[:2] = [q - 1, 0]
+    limbs = [jnp.asarray(((vals >> np.uint64(15 * j))
+                          & np.uint64(0x7FFF)).astype(np.int32))
+             for j in range(la.L)]
+    lo, hi = la.limbs_to_planes(limbs)
+    back = unpack_u64_planes(np.asarray(lo), np.asarray(hi), wide=True)
+    np.testing.assert_array_equal(back, vals)
+
+
+def test_limb_rejects_past_64_bits():
+    with pytest.raises(ValueError):
+        LimbArith(1 << 65)

@@ -65,14 +65,15 @@ def _to_limbs(c: int, nl: int) -> list[int]:
 
 def supported(n: int, primes, q: int, tile: int | None = None) -> bool:
     """Flat packed channel geometry (n/2 slots on lanes) + VMEM budget +
-    the kernel's exactness preconditions (docstring above): q <= 62 bits
-    (chunks() extracts bits 0..61) and prod(p) > 2·n·(q-1)² (signed-CRT
-    range for the integer negacyclic product)."""
+    the kernel's exactness preconditions (docstring above): q <= 64 bits
+    (wide true-32-bit-halves packing covers the full K<=64 claim of
+    defines.v:42) and prod(p) > 2·n·(q-1)² (signed-CRT range for the
+    integer negacyclic product)."""
     if not all((1 << 16) < p < (1 << 29) and p % 2 == 1 for p in primes):
         return False
     if n < 256 or n > 8192:
         return False
-    if int(q).bit_length() > 62:
+    if int(q).bit_length() > 64:
         return False
     if math.prod(int(p) for p in primes) <= 2 * n * (int(q) - 1) ** 2:
         return False
@@ -93,18 +94,23 @@ def _default_tile(n: int) -> int:
 
 
 class _ChannelConsts:
-    """Compile-time Montgomery constants for one channel prime."""
+    """Compile-time Montgomery constants for one channel prime.
 
-    def __init__(self, p: int):
+    ``wide`` selects the chunk weights of the plane packing: legacy
+    (lo31, hi31) -> shifts (16, 31, 47); true 32-bit halves (the
+    62..64-bit q range, defines.v:42 K<=64) -> shifts (16, 32, 48)."""
+
+    def __init__(self, p: int, wide: bool = False):
         self.q32 = np.int32(p)
         self.q0 = np.int32(p & _M15)
         self.q1 = np.int32(p >> _B)
         self.qp = np.int32((-pow(p, -1, 1 << _B)) % (1 << _B))
         R = 1 << 30
+        s_mid, s_hi = (32, 48) if wide else (31, 47)
         # split constants: 2^e·R mod p so one REDC lands the plain residue
         self.t16 = np.int32(pow(2, 16, p) * R % p)
-        self.t31 = np.int32(pow(2, 31, p) * R % p)
-        self.t47 = np.int32(pow(2, 47, p) * R % p)
+        self.tmid = np.int32(pow(2, s_mid, p) * R % p)
+        self.thi = np.int32(pow(2, s_hi, p) * R % p)
 
 
 def _csub(x, m):
@@ -145,7 +151,7 @@ def _channel_ops(cc: _ChannelConsts) -> dict:
 
     def residue(c0, c1, c2, c3):
         """16-bit chunk planes -> this channel's canonical residue."""
-        r = addm(mul_c(c3, cc.t47), mul_c(c2, cc.t31))
+        r = addm(mul_c(c3, cc.thi), mul_c(c2, cc.tmid))
         r = addm(r, mul_c(c1, cc.t16))
         # c0 < 2^16 may exceed p only for tiny p; primes > 2^16 so one
         # csub suffices
@@ -155,13 +161,16 @@ def _channel_ops(cc: _ChannelConsts) -> dict:
             "subm": subm, "residue": residue}
 
 
-def _chunks(lo, hi):
-    """Packed (lo31, hi31) planes -> four 16-bit chunk planes of the
-    value  c3·2^47 + c2·2^31 + c1·2^16 + c0  (q < 2^62)."""
+def _chunks(lo, hi, wide: bool = False):
+    """Packed planes -> four 16-bit chunk planes.  Legacy (lo31, hi31):
+    value = c3·2^47 + c2·2^31 + c1·2^16 + c0 (q < 2^62).  Wide (true
+    32-bit halves, arithmetic-shift-then-mask handles the int32 sign
+    bit): value = c3·2^48 + c2·2^32 + c1·2^16 + c0 (q < 2^64)."""
+    m1 = jnp.int32(0xFFFF if wide else 0x7FFF)
     c0 = lo & jnp.int32(0xFFFF)
-    c1 = (lo >> 16) & jnp.int32(0x7FFF)
+    c1 = (lo >> 16) & m1
     c2 = hi & jnp.int32(0xFFFF)
-    c3 = (hi >> 16) & jnp.int32(0x7FFF)
+    c3 = (hi >> 16) & m1
     return c0, c1, c2, c3
 
 
@@ -174,6 +183,7 @@ def _make_garner(primes: list[int], q: int):
     conditional shift-subtract ladder — the in-kernel twin of
     bigq.DeviceCRT.reconstruct + ops/limb.LimbArith)."""
     k = len(primes)
+    wide = q.bit_length() > 62            # output-plane packing
     m15 = np.int32(_M15)
     cc = [_ChannelConsts(p) for p in primes]
     ops = [_channel_ops(c) for c in cc]
@@ -323,23 +333,29 @@ def _make_garner(primes: list[int], q: int):
         limbs = planes[:Lq] + [jnp.zeros_like(planes[0])
                                for _ in range(5 - Lq)]
         l0, l1, l2, l3, l4 = limbs[:5]
-        lo = l0 | (l1 << _B) | ((l2 & 1) << 30)
-        hi = (l2 >> 1) | (l3 << 14) | (l4 << 29)
+        if wide:                           # true 32-bit halves (q < 2^64)
+            lo = l0 | (l1 << _B) | ((l2 & 3) << 30)
+            hi = (l2 >> 2) | (l3 << 13) | (l4 << 28)
+        else:
+            lo = l0 | (l1 << _B) | ((l2 & 1) << 30)
+            hi = (l2 >> 1) | (l3 << 14) | (l4 << 29)
         return lo, hi
 
     return garner
 
 
-def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
-    """Kernel factory.  Channels unrolled: every modulus constant is a
-    compile-time scalar.  Data layout: rows — (tile, n) coefficient
-    blocks, channel planes (tile, n/2) with slots on lanes (the measured
-    winner for Montgomery arithmetic, see PallasPolymul docstring)."""
+def _flat_pieces(n: int, primes: list[int], q: int, tile: int) -> dict:
+    """The flat kernel's internal closures (per-channel packed fwd/inv,
+    residue split, Garner, final scales), exposed so the calibration
+    section rulers time the SAME code the shipped kernel runs
+    (utils/calibrate.bigq_flat_ceiling — the incomplete_kernel
+    methodology applied to the big-q class, VERDICT r4 next #1)."""
     k = len(primes)
+    wide = q.bit_length() > 62
     h = n // 2
     log2n = n.bit_length() - 1
     shape = (tile, h)
-    cc = [_ChannelConsts(p) for p in primes]
+    cc = [_ChannelConsts(p, wide=wide) for p in primes]
     ops = [_channel_ops(c) for c in cc]
     plist = [make_params(n, p) for p in primes]
     garner = _make_garner(primes, q)
@@ -375,14 +391,41 @@ def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
     finals = [np.int32(p.n_inv * (1 << 30) % p.q * (1 << 30) % p.q)
               for p in plist]
 
-    # ---- the kernel ------------------------------------------------------
+    def channel_products(ra, rb, twf, twi):
+        """(tile, n) residue planes of a and b for channel i -> the
+        canonical packed channel product planes (the per-channel body
+        between split and Garner)."""
+        prods = []
+        for i in range(k):
+            fa = fwd(i, ra[i][:, :h], ra[i][:, h:], twf[i])
+            fb = fwd(i, rb[i][:, :h], rb[i][:, h:], twf[i])
+            A, B = inv(i, ops[i]["mul"](fa[0], fb[0]),
+                       ops[i]["mul"](fa[1], fb[1]), twi[i])
+            prods.append((ops[i]["mul_c"](A, finals[i]),
+                          ops[i]["mul_c"](B, finals[i])))
+        return prods
+
+    return dict(k=k, wide=wide, h=h, ops=ops, fwd=fwd, inv=inv,
+                finals=finals, garner=garner,
+                channel_products=channel_products)
+
+
+def _make_bigq_kernel(n: int, primes: list[int], q: int, tile: int):
+    """Kernel factory.  Channels unrolled: every modulus constant is a
+    compile-time scalar.  Data layout: rows — (tile, n) coefficient
+    blocks, channel planes (tile, n/2) with slots on lanes (the measured
+    winner for Montgomery arithmetic, see PallasPolymul docstring)."""
+    pc = _flat_pieces(n, primes, q, tile)
+    k, wide, h = pc["k"], pc["wide"], pc["h"]
+    ops, fwd, inv = pc["ops"], pc["fwd"], pc["inv"]
+    finals, garner = pc["finals"], pc["garner"]
 
     def kernel(lo_a_ref, hi_a_ref, lo_b_ref, hi_b_ref,
                twf_ref, twi_ref, lo_out_ref, hi_out_ref):
         twf, twi = twf_ref[...], twi_ref[...]
 
-        ca = _chunks(lo_a_ref[...], hi_a_ref[...])
-        cb = _chunks(lo_b_ref[...], hi_b_ref[...])
+        ca = _chunks(lo_a_ref[...], hi_a_ref[...], wide)
+        cb = _chunks(lo_b_ref[...], hi_b_ref[...], wide)
 
         # channel products, canonical [0, p_i), packed planes (A=even
         # slots, B=odd slots of the natural coefficient order)
@@ -422,8 +465,9 @@ class PallasBigQ:
         # supported()) so a caller constructing PallasBigQ with an
         # insufficient prime set or an over-wide q fails loudly instead
         # of silently wrapping mod prod(p) / dropping high bits
-        assert self.q.bit_length() <= 62, \
-            f"q must fit in 62 bits (got {self.q.bit_length()})"
+        assert self.q.bit_length() <= 64, \
+            f"q must fit in 64 bits (got {self.q.bit_length()})"
+        self.wide = self.q.bit_length() > 62
         assert math.prod(self.primes) > 2 * n * (self.q - 1) ** 2, \
             "prod(primes) must exceed 2*n*(q-1)^2 for exact signed CRT"
         if not supported(n, self.primes, self.q, self.tile):
@@ -494,9 +538,10 @@ class PallasBigQ:
         from .limb import pack_u64_planes, unpack_u64_planes
         a = np.atleast_2d(np.asarray(a, dtype=np.uint64))
         b = np.atleast_2d(np.asarray(b, dtype=np.uint64))
-        lo, hi = self.polymul_planes(*pack_u64_planes(a),
-                                     *pack_u64_planes(b))
-        return unpack_u64_planes(np.asarray(lo), np.asarray(hi))
+        lo, hi = self.polymul_planes(*pack_u64_planes(a, wide=self.wide),
+                                     *pack_u64_planes(b, wide=self.wide))
+        return unpack_u64_planes(np.asarray(lo), np.asarray(hi),
+                                 wide=self.wide)
 
 
 # ---------------------------------------------------------------------------
@@ -519,19 +564,23 @@ class PallasRNSSplit:
     """Packed (lo31, hi31) planes -> (k, ...) channel residues, one
     elementwise Pallas pass (the kernel twin of DeviceCRT.split)."""
 
-    def __init__(self, primes: list[int], interpret: bool = False):
+    def __init__(self, primes: list[int], interpret: bool = False,
+                 wide: bool = False):
         self.primes = [int(p) for p in primes]
         assert min(self.primes) > (1 << 16)
         self.interpret = interpret
+        self.wide = wide
 
     @functools.cached_property
     def _call(self):
         k = len(self.primes)
-        ops = [_channel_ops(_ChannelConsts(p)) for p in self.primes]
+        wide = self.wide
+        ops = [_channel_ops(_ChannelConsts(p, wide=wide))
+               for p in self.primes]
         R, L = _SPLIT_ROWS, _SPLIT_LANES
 
         def kernel(lo_ref, hi_ref, out_ref):
-            c = _chunks(lo_ref[...], hi_ref[...])
+            c = _chunks(lo_ref[...], hi_ref[...], wide)
             for i in range(k):
                 out_ref[i] = ops[i]["residue"](*c)
 
@@ -573,7 +622,7 @@ class PallasGarner:
                  interpret: bool = False):
         self.primes = [int(p) for p in primes]
         self.q = int(q)
-        assert self.q.bit_length() <= 62
+        assert self.q.bit_length() <= 64
         self.interpret = interpret
 
     @functools.cached_property

@@ -48,18 +48,36 @@ def _to_limbs(c: int, nl: int) -> list[int]:
     return out
 
 
-def pack_u64_planes(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """uint64 (< 2^62) host array -> (lo31, hi31) int32 planes."""
+def pack_u64_planes(x: np.ndarray, wide: bool = False) \
+        -> tuple[np.ndarray, np.ndarray]:
+    """uint64 host array -> two int32 planes.
+
+    Default packing is (lo31, hi31) — covers q < 2^62 with both planes
+    non-negative.  ``wide=True`` packs TRUE 32-bit halves (lo32, hi32) —
+    covers the full 64-bit range the reference claims (defines.v:42,
+    K up to 64); plane values may go negative as int32, downstream
+    consumers extract 16-bit chunks with masks so the sign bit is just
+    bit 31."""
     x = np.asarray(x, dtype=np.uint64)
+    if wide:
+        lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        hi = (x >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        return lo, hi
     lo = (x & np.uint64((1 << 31) - 1)).astype(np.int32)
     hi = (x >> np.uint64(31)).astype(np.int32)
     return lo, hi
 
 
-def unpack_u64_planes(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    """(lo31, hi31) int32 planes -> uint64 host array."""
-    return (np.asarray(hi).astype(np.uint64) << np.uint64(31)) | \
-        np.asarray(lo).astype(np.uint64)
+def unpack_u64_planes(lo: np.ndarray, hi: np.ndarray,
+                      wide: bool = False) -> np.ndarray:
+    """Two int32 planes -> uint64 host array (inverse of
+    :func:`pack_u64_planes`, same ``wide`` flag)."""
+    shift = np.uint64(32 if wide else 31)
+    lo_u = np.asarray(lo).view(np.uint32).astype(np.uint64) if wide \
+        else np.asarray(lo).astype(np.uint64)
+    hi_u = np.asarray(hi).view(np.uint32).astype(np.uint64) if wide \
+        else np.asarray(hi).astype(np.uint64)
+    return (hi_u << shift) | lo_u
 
 
 class LimbArith:
@@ -71,11 +89,14 @@ class LimbArith:
     """
 
     def __init__(self, q: int):
-        if not (2 < q < 1 << 62):
-            raise ValueError("LimbArith needs 2 < q < 2^62")
+        if not (2 < q < 1 << 64):
+            raise ValueError("LimbArith needs 2 < q < 2^64")
         self.q = q
         self.bits = q.bit_length()
         self.L = -(-self.bits // _B)          # canonical limb count
+        # q past 62 bits needs the wide (true 32-bit halves) plane
+        # packing; below that the legacy non-negative (lo31, hi31) form
+        self.wide = self.bits > 62
 
     # ------------------------------------------------------------------
     # accumulation
@@ -153,19 +174,38 @@ class LimbArith:
     # ------------------------------------------------------------------
 
     def limbs_to_planes(self, limbs):
-        """Canonical limbs (< q < 2^62) -> (lo31, hi31) int32 planes."""
+        """Canonical limbs (< q) -> two int32 planes, in this modulus's
+        packing (``self.wide``: true 32-bit halves for 62 < bits(q) <= 64,
+        else the legacy non-negative lo31/hi31)."""
         padded = limbs + [jnp.zeros_like(limbs[0])] * (5 - len(limbs))
         l0, l1, l2, l3, l4 = padded[:5]
+        if self.wide:
+            # bits 0..31 | 32..63 of l4..l0 (15-bit limbs); the shifts
+            # into bit 31 wrap into the int32 sign bit, which is fine —
+            # consumers are mask-based chunk extractors
+            lo = l0 | (l1 << _B) | ((l2 & 3) << 30)
+            hi = (l2 >> 2) | (l3 << 13) | (l4 << 28)
+            return lo, hi
         lo = l0 | (l1 << _B) | ((l2 & 1) << 30)
         hi = (l2 >> 1) | (l3 << 14) | (l4 << 29)
         return lo, hi
 
     def planes_to_16bit(self, lo, hi):
-        """(lo31, hi31) planes -> four 16-bit chunks (c0..c3) such that
-        value = c3·2^47 + c2·2^31 + c1·2^16 + c0, each chunk < 2^16
-        (c3 < 2^15) — mont-mul-safe operands for the RNS split."""
+        """Two packed planes -> four 16-bit chunks (c0..c3) such that
+        value = c3·2^S3 + c2·2^S2 + c1·2^16 + c0 with (S2, S3) =
+        (32, 48) wide / (31, 47) legacy — mask extraction, so int32
+        sign bits in wide planes are handled for free."""
         c0 = lo & jnp.int32(0xFFFF)
-        c1 = (lo >> 16) & jnp.int32(0x7FFF)   # 15 bits (lo is 31 bits)
         c2 = hi & jnp.int32(0xFFFF)
-        c3 = (hi >> 16) & jnp.int32(0x7FFF)
+        if self.wide:
+            c1 = (lo >> 16) & jnp.int32(0xFFFF)
+            c3 = (hi >> 16) & jnp.int32(0xFFFF)
+        else:
+            c1 = (lo >> 16) & jnp.int32(0x7FFF)   # 15 bits (lo is 31 bits)
+            c3 = (hi >> 16) & jnp.int32(0x7FFF)
         return c0, c1, c2, c3
+
+    @property
+    def chunk_shifts(self) -> tuple[int, int, int]:
+        """Bit positions of chunks c1, c2, c3 in this packing."""
+        return (16, 32, 48) if self.wide else (16, 31, 47)

@@ -52,8 +52,10 @@ def schoolbook_negacyclic(a, b, q: int) -> np.ndarray:
     conv = np.zeros(2 * n, dtype=object)
     for i in range(n):
         conv[i:i + n] += a[i] * b
-    return np.array([(int(conv[k]) - int(conv[k + n])) % q for k in range(n)],
-                    dtype=np.int64)
+    out = [(int(conv[k]) - int(conv[k + n])) % q for k in range(n)]
+    # int64 result for every classic modulus; object past 2^62 (64-bit
+    # moduli produce residues int64 cannot hold)
+    return np.array(out, dtype=np.int64 if q < 1 << 62 else object)
 
 
 def schoolbook_cyclic(a, b, q: int) -> np.ndarray:
@@ -66,8 +68,8 @@ def schoolbook_cyclic(a, b, q: int) -> np.ndarray:
     conv = np.zeros(2 * n, dtype=object)
     for i in range(n):
         conv[i:i + n] += a[i] * b
-    return np.array([(int(conv[k]) + int(conv[k + n])) % q for k in range(n)],
-                    dtype=np.int64)
+    out = [(int(conv[k]) + int(conv[k + n])) % q for k in range(n)]
+    return np.array(out, dtype=np.int64 if q < 1 << 62 else object)
 
 
 # ---------------------------------------------------------------------------

@@ -65,8 +65,10 @@ def check_domain(x, q: int, where: str = "input") -> None:
     a = np.asarray(x)
     if a.size == 0:
         return
-    lo = a.min()
-    hi = a.max()
+    # compare as python ints: numpy would route uint64-vs-big-int
+    # comparisons through float64, which cannot represent q near 2^64
+    lo = int(a.min())
+    hi = int(a.max())
     if lo < 0 or hi >= q:
         bad = int(lo) if lo < 0 else int(hi)
         raise DomainError(
