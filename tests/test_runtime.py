@@ -318,3 +318,51 @@ def test_engine_large_n_dispatch(monkeypatch):
     eng = PolyMultEngine(n=16384, q=65537)
     assert eng.kind == "fourstep-pallas"
     assert isinstance(eng.plan, PallasFourStep)
+
+
+# ---------------------------------------------------------------------------
+# staged-buffer session (the v1 address-mapped host protocol analog)
+# ---------------------------------------------------------------------------
+
+def test_staged_session_matches_engine(rng):
+    """StagedSession products are bit-exact with the generic engine path
+    for xla and incomplete kinds; results can stay device-resident."""
+    from tpu_ntt.runtime.staged import StagedSession
+    for q in (12289, 3329):
+        eng = PolyMultEngine(n=256, q=q)
+        sess = StagedSession(eng, batch=4)
+        a = rng.integers(0, q, (4, 256))
+        b = rng.integers(0, q, (4, 256))
+        np.testing.assert_array_equal(sess.multiply(a, b),
+                                      eng.multiply(a, b))
+        dev = sess.multiply_device(a, b)     # no d2h
+        assert not isinstance(dev, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(dev), eng.multiply(a, b))
+
+
+def test_staged_session_fixed_shape_contract(rng):
+    from tpu_ntt.runtime.staged import StagedSession
+    eng = PolyMultEngine(n=256, q=12289)
+    sess = StagedSession(eng, batch=2)
+    a = rng.integers(0, 12289, (3, 256))
+    with pytest.raises(ValueError, match="fixed at shape"):
+        sess.multiply(a, a)
+    # unsupported kinds state the contract
+    import jax
+    if len(jax.devices()) >= 2:
+        from tpu_ntt.parallel.sharded import make_mesh
+        eng2 = PolyMultEngine(n=1024, q=12289, mesh=make_mesh(2))
+        with pytest.raises(NotImplementedError, match="single-chip"):
+            StagedSession(eng2, batch=2)
+
+
+def test_staged_session_overhead_harness(rng):
+    """measure_overhead runs and reports both paths (CPU numbers are not
+    meaningful; the dispatch-overhead CLAIM is measured on TPU by
+    test_tpu_parity.py::test_staged_session_on_device)."""
+    from tpu_ntt.runtime.staged import StagedSession
+    eng = PolyMultEngine(n=256, q=12289)
+    sess = StagedSession(eng, batch=4)
+    d = sess.measure_overhead(iters=3)
+    assert d["staged_us"] > 0 and d["engine_us"] > 0
+    assert d["batch"] == 4 and d["n"] == 256

@@ -2,4 +2,11 @@
 
 from . import native
 
-__all__ = ["native"]
+__all__ = ["native", "StagedSession"]
+
+
+def __getattr__(name):
+    if name == "StagedSession":
+        from .staged import StagedSession
+        return StagedSession
+    raise AttributeError(name)
