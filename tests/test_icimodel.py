@@ -66,3 +66,27 @@ def test_table_and_markdown_render():
     assert "| gen | n | D=4 | D=8 | D=16 |" in md
     # the corrected reference point appears in the rendered table
     assert "| v5e | 2^20 | 72% | 53% | 34% |" in md
+
+
+def test_hierarchical_exchange_model():
+    """The 2-D per-axis exchange (VERDICT r4 next #3): link-time ratio
+    (D-1)/((D1-1)+(D2-1)) = 2.5x at D=16 as 4x4, and the chained+
+    overlapped mode clears the >=80% north star at D=16 for every
+    modeled n — the D=16 sp wall is broken in the model the SCALING.md
+    posture rests on."""
+    chip = icimodel.CHIPS["v5e"]
+    tm1 = icimodel.t_comm(1 << 20, 16, chip, batch=4)
+    tmh = icimodel.t_comm_hier(1 << 20, (4, 4), chip, batch=4)
+    assert tm1 / tmh == pytest.approx(2.5)
+    for n in (1 << 16, 1 << 18, 1 << 20):
+        e = icimodel.efficiency(n, 16, chip, chained=True, overlap=True,
+                                hier=(4, 4))
+        assert e >= 0.8, (n, e)
+    # the 1-D joint ring at the same point stays under the bar — the
+    # hierarchical decomposition is what buys it
+    assert icimodel.efficiency(1 << 20, 16, chip, chained=True,
+                               overlap=True) < 0.8
+    assert icimodel.square_factors(16) == (4, 4)
+    assert icimodel.square_factors(8) == (2, 4)
+    md = icimodel.render_markdown()
+    assert "HIERARCHICAL" in md

@@ -570,3 +570,109 @@ except Exception as e:                       # fast collective error is
         "wall_s": round(time.time() - t0, 1),
         "ok": True,
     })
+
+
+# ---------------------------------------------------------------------------
+# hierarchical 2-D sp exchange (VERDICT r4 next #3)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    from tpu_ntt.parallel.sharded import make_mesh_hier
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh_hier(2, 4)
+
+
+def test_hier_polymul_vs_schoolbook_and_1d(mesh2d, rng):
+    """2-D (sp1=2, sp2=4) hierarchical exchange: bit-exact vs the
+    schoolbook AND vs the 1-D joint-axis plan (the schedule changes,
+    never the numbers)."""
+    p = make_params(1024, 12289)
+    sp = ShardedPlan(p, mesh2d, axis=("sp1", "sp2"))
+    assert sp.d == 8
+    a = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    b = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    c = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a), sp.shard_coeffs(b)))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], p.q))
+    sp1d = ShardedPlan(p, make_mesh(8))
+    w = sp1d.unshard(sp1d.polymul_jit(sp1d.shard_coeffs(a),
+                                      sp1d.shard_coeffs(b)))
+    np.testing.assert_array_equal(c, w)
+
+
+def test_hier_roundtrip_and_spectrum_layout(mesh2d, rng):
+    """forward/inverse invert through the reversed-axes spectrum layout;
+    the spectrum spec is P(batch, (sp2, sp1), None) by construction."""
+    from jax.sharding import PartitionSpec as P
+    p = make_params(4096, 12289)
+    sp = ShardedPlan(p, mesh2d, axis=("sp1", "sp2"))
+    assert sp.spec_spec == P(None, ("sp2", "sp1"), None)
+    a = rng.integers(0, p.q, (3, p.n)).astype(np.int32)
+    f = sp.forward_jit(sp.shard_coeffs(a))
+    g = sp.unshard(sp.inverse_jit(f))
+    np.testing.assert_array_equal(g, a)
+    # spectral pointwise path: intt(f(a) * f(b)) == polymul(a, b)
+    b = rng.integers(0, p.q, (3, p.n)).astype(np.int32)
+    want = sp.unshard(sp.polymul_jit(sp.shard_coeffs(a),
+                                     sp.shard_coeffs(b)))
+    fb = sp.forward_jit(sp.shard_coeffs(b))
+    prod = jax.jit(jax.shard_map(
+        sp.arith.mul, mesh=sp.mesh,
+        in_specs=(sp.spec_spec, sp.spec_spec), out_specs=sp.spec_spec,
+        check_vma=False))(f, fb)
+    got = sp.unshard(sp.inverse_jit(prod))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hier_collective_count(mesh2d, rng):
+    """The lowered graph carries exactly 2 all_to_alls per transform
+    (one per mesh axis) — 4 per polymul vs the 1-D plan's 2: smaller
+    per-ring collectives bought with more of them (priced by
+    icimodel.t_comm_hier)."""
+    p = make_params(1024, 12289)
+    sp = ShardedPlan(p, mesh2d, axis=("sp1", "sp2"))
+    a = sp.shard_coeffs(rng.integers(0, p.q, (2, p.n)))
+    b = sp.shard_coeffs(rng.integers(0, p.q, (2, p.n)))
+    assert _count_a2a(sp.polymul_jit, a, b) == 4
+    sp1d = ShardedPlan(p, make_mesh(8))
+    a1 = sp1d.shard_coeffs(rng.integers(0, p.q, (2, p.n)))
+    b1 = sp1d.shard_coeffs(rng.integers(0, p.q, (2, p.n)))
+    assert _count_a2a(sp1d.polymul_jit, a1, b1) == 2
+
+
+def test_hier_chain_and_overlap(mesh2d, rng):
+    """Chained products and the double-buffered overlap path work
+    unchanged on the 2-D mesh (the composition layers are orthogonal to
+    the exchange decomposition)."""
+    p = make_params(1024, 12289)
+    sp = ShardedPlan(p, mesh2d, axis=("sp1", "sp2"))
+    a = rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+    bs = [rng.integers(0, p.q, (2, p.n)).astype(np.int32)
+          for _ in range(3)]
+    got = sp.polymul_chain(a, bs)
+    want = a
+    for b in bs:
+        want = np.stack([ref.schoolbook_negacyclic(want[i], b[i], p.q)
+                         for i in range(2)])
+    np.testing.assert_array_equal(got, want)
+    ov = sp.unshard(sp.polymul_overlapped_jit(sp.shard_coeffs(a),
+                                              sp.shard_coeffs(bs[0])))
+    np.testing.assert_array_equal(
+        ov, np.stack([ref.schoolbook_negacyclic(a[i], bs[0][i], p.q)
+                      for i in range(2)]))
+
+
+def test_hier_engine_dispatch(mesh2d, rng):
+    """PolyMultEngine on an sp1 x sp2 mesh picks the hierarchical axes."""
+    from tpu_ntt.runtime.engine import PolyMultEngine
+    eng = PolyMultEngine(n=1024, q=12289, mesh=mesh2d)
+    assert eng.kind == "sharded" and eng.plan.axes == ("sp1", "sp2")
+    a = rng.integers(0, 12289, (2, 1024))
+    b = rng.integers(0, 12289, (2, 1024))
+    c = eng.multiply(a, b)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], 12289))

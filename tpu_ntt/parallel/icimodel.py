@@ -50,7 +50,8 @@ from __future__ import annotations
 import dataclasses
 
 __all__ = ["ChipGen", "CHIPS", "OPS_PER_BUTTERFLY", "t_comp", "t_comm",
-           "efficiency", "table", "render_markdown"]
+           "t_comm_hier", "efficiency", "square_factors", "table",
+           "render_markdown"]
 
 # per-flavor elementwise lane-op cost of one butterfly in the packed
 # kernels — same constants as bench.py's OPS_PER_BUTTERFLY (duplicated
@@ -111,24 +112,61 @@ def t_comm(n: int, d: int, chip: ChipGen, batch: int = 4,
     return full * (d - 1) / 8 / chip.ici_link_bytes
 
 
+def t_comm_hier(n: int, ds: tuple[int, ...], chip: ChipGen,
+                batch: int = 4, chained: bool = False) -> float:
+    """Hierarchical per-axis exchange (parallel/sharded hierarchical
+    mode): one all_to_all per mesh axis, each riding its own torus
+    dimension as a D_i-ring.  Every phase resends the SAME per-chip
+    local volume ``full = k_t·4·B·n/D`` (D = Π D_i) over its own ring,
+    so total link-time = full·Σ(D_i-1)/(8W) — ∝ (D1-1)+(D2-1) instead
+    of the joint ring's (D-1): 15/6 ≈ 2.5× less at D=16 as 4×4."""
+    d = 1
+    for di in ds:
+        d *= di
+    if d <= 1:
+        return 0.0
+    k_t = 2 if chained else 3
+    full = k_t * 4 * batch * (n / d)
+    hops = sum(di - 1 for di in ds)
+    return full * hops / 8 / chip.ici_link_bytes
+
+
 def efficiency(n: int, d: int, chip: ChipGen, flavor: str = "mont",
                batch: int = 4, chained: bool = False,
-               overlap: bool = False) -> float:
-    """Weak-scaling efficiency vs a single chip (n scaled ∝ D)."""
+               overlap: bool = False,
+               hier: tuple[int, ...] | None = None) -> float:
+    """Weak-scaling efficiency vs a single chip (n scaled ∝ D).
+    ``hier``: factor D as a multi-axis mesh (e.g. (4, 4)) priced by
+    :func:`t_comm_hier`; must multiply to ``d``."""
     if d <= 1:
         return 1.0
     tc = t_comp(n, d, chip, flavor, batch)
-    tm = t_comm(n, d, chip, batch, chained)
+    if hier is not None:
+        dd = 1
+        for di in hier:
+            dd *= di
+        assert dd == d, f"hier {hier} must multiply to D={d}"
+        tm = t_comm_hier(n, hier, chip, batch, chained)
+    else:
+        tm = t_comm(n, d, chip, batch, chained)
     if overlap:
         return tc / max(tc, tm)
     return tc / (tc + tm)
 
 
+def square_factors(d: int) -> tuple[int, int]:
+    """Square-ish 2-axis factorization of d (the physical-torus shape
+    the hierarchical mesh should map onto): 16 -> (4,4), 8 -> (2,4)."""
+    l = d.bit_length() - 1
+    return (1 << (l // 2), 1 << (l - l // 2))
+
+
 def table(flavor: str = "mont", batch: int = 4,
           gens=("v5e", "v5p"), ns=(1 << 16, 1 << 18, 1 << 20),
           ds=(4, 8, 16), chained: bool = False,
-          overlap: bool = False) -> list[dict]:
-    """The SCALING.md §2 grid as data."""
+          overlap: bool = False, hier: bool = False) -> list[dict]:
+    """The SCALING.md §2 grid as data.  ``hier=True`` prices each D
+    through the 2-axis hierarchical exchange at its square factors."""
     rows = []
     for g in gens:
         chip = CHIPS[g]
@@ -137,7 +175,9 @@ def table(flavor: str = "mont", batch: int = 4,
             for d in ds:
                 row[f"D={d}"] = round(
                     efficiency(n, d, chip, flavor, batch,
-                               chained=chained, overlap=overlap), 3)
+                               chained=chained, overlap=overlap,
+                               hier=square_factors(d) if hier and d > 2
+                               else None), 3)
             rows.append(row)
     return rows
 
@@ -159,6 +199,8 @@ def render_markdown(flavor: str = "mont", batch: int = 4) -> str:
 
     base = table(flavor, batch)
     opt = table(flavor, batch, chained=True, overlap=True)
+    hier = table(flavor, batch, chained=True, overlap=True, hier=True,
+                 ds=(4, 8, 16))
     lines = [
         f"Single products, no overlap (B={batch}, {flavor}, int32; "
         f"computed by `tpu_ntt.parallel.icimodel`, constants in the "
@@ -172,6 +214,13 @@ def render_markdown(flavor: str = "mont", batch: int = 4) -> str:
         "all_to_all under the other half's transforms):",
         "",
         fmt(opt),
+        "",
+        "Same chained+overlapped products over the HIERARCHICAL 2-D sp "
+        "mesh (`ShardedPlan(axis=(\"sp1\", \"sp2\"))` at the square "
+        "factorization of D, one all_to_all per torus dimension — "
+        "link-time ∝ (D1-1)+(D2-1) instead of (D-1)):",
+        "",
+        fmt(hier),
     ]
     return "\n".join(lines)
 

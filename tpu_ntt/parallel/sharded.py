@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..params import NTTParams, modinv
 from ..transform import Plan
 
-__all__ = ["ShardedPlan", "make_mesh", "dp_polymul"]
+__all__ = ["ShardedPlan", "make_mesh", "make_mesh_hier", "dp_polymul"]
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -52,6 +52,17 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     if n_devices is None:
         n_devices = len(devs)
     return Mesh(np.array(devs[:n_devices]), (axis,))
+
+
+def make_mesh_hier(d1: int, d2: int,
+                   axes: tuple[str, str] = ("sp1", "sp2")) -> Mesh:
+    """2-D sequence-parallel mesh (d1, d2) for the hierarchical
+    exchange; on real hardware map the two axes onto the two physical
+    torus dimensions so each all_to_all rides its own ring."""
+    devs = jax.devices()
+    if d1 * d2 > len(devs):
+        raise ValueError(f"need {d1 * d2} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:d1 * d2]).reshape(d1, d2), axes)
 
 
 def dp_polymul(plan, mesh: Mesh, axis: str = "dp"):
@@ -91,20 +102,38 @@ def _choose_split(n: int, d: int) -> _Split:
 
 
 class ShardedPlan:
-    """Four-step transform plan over a 1-D mesh axis.
+    """Four-step transform plan over a 1-D mesh axis — or a HIERARCHICAL
+    multi-axis sp mesh (``axis`` a tuple of names).
 
     API parity with :class:`~tpu_ntt.transform.Plan` at pod scale:
     ``forward``/``inverse``/``pointwise``/``polymul``, all operating on
     ``(batch, n)`` arrays whose coefficient axis is sharded.
+
+    **Hierarchical mode** (``axis=("sp1", "sp2")``): the four-step
+    transpose decomposes into one ``all_to_all`` per mesh axis, innermost
+    first — each rides its OWN torus dimension as a small-ring collective
+    instead of one D-sized ring hop chain, cutting transpose link-time
+    from ∝(D-1) to ∝(D1-1)+(D2-1) (2.5× at D=16 as 4×4).  The algebra
+    costs nothing: after the per-axis exchanges each device holds its
+    rows in a layout that is exactly the sharding over the REVERSED axes
+    tuple with columns contiguous in natural order, so the spectrum spec
+    is ``P(batch, (sp2, sp1), None)`` and no local permutation exists
+    anywhere.  This is the TPU re-expression of the reference's
+    brscramble network scaling with PE_DEPTH (AddressGenerator.v:310-337)
+    past a single ring of 8 (VERDICT r4 next #3).
     """
 
-    def __init__(self, params: NTTParams, mesh: Mesh, axis: str = "x",
+    def __init__(self, params: NTTParams, mesh: Mesh,
+                 axis: str | tuple[str, ...] = "x",
                  n1: int | None = None, batch_axis: str | None = None):
         self.params = params
         self.mesh = mesh
         self.axis = axis
+        self.axes = (axis,) if isinstance(axis, str) else tuple(axis)
         self.batch_axis = batch_axis   # optional data-parallel mesh axis
-        d = mesh.shape[axis]
+        d = 1
+        for ax in self.axes:
+            d *= mesh.shape[ax]
         self.d = d
         if n1 is None:
             split = _choose_split(params.n, d)
@@ -170,10 +199,18 @@ class ShardedPlan:
     # shard_map bodies (operate on local blocks, batch leading)
     # ------------------------------------------------------------------
 
+    def _axis_index(self):
+        """Global column-block index of this device: lexicographic over
+        the (possibly hierarchical) transform axes."""
+        idx = jax.lax.axis_index(self.axes[0])
+        for ax in self.axes[1:]:
+            idx = idx * self.mesh.shape[ax] + jax.lax.axis_index(ax)
+        return idx
+
     def _fwd_local(self, x):
         """Forward phase 1 (all LOCAL work before the collective):
         column NTTs + twist on (B, n1, L2)."""
-        idx = jax.lax.axis_index(self.axis)
+        idx = self._axis_index()
         y = jnp.swapaxes(x, -1, -2)                       # (B, L2, n1)
         y = self.plan1.ntt(y, "ct", "std2rev",
                            mixed=self.params.negacyclic)  # column NTTs
@@ -181,9 +218,18 @@ class ShardedPlan:
         return jnp.swapaxes(y, -1, -2)                    # (B, n1, L2)
 
     def _fwd_a2a(self, y):
-        """Forward phase 2: the ICI transpose (brscramble analog)."""
-        return jax.lax.all_to_all(y, self.axis, split_axis=1,
-                                  concat_axis=2, tiled=True)
+        """Forward phase 2: the ICI transpose (brscramble analog).
+
+        Hierarchical: one all_to_all per axis, INNERMOST first.  After
+        exchanging over the innermost axis the received column blocks of
+        one outer-group are contiguous in natural order; the outer
+        exchange then concatenates whole group slabs, so columns come
+        out globally natural and the rows land sharded over the
+        REVERSED axes tuple (see spec_spec) — no local fix-up."""
+        for ax in reversed(self.axes):
+            y = jax.lax.all_to_all(y, ax, split_axis=1,
+                                   concat_axis=2, tiled=True)
+        return y
 
     def _fwd_rows(self, y):
         """Forward phase 3 (local): row NTTs on (B, n1/D, n2)."""
@@ -198,12 +244,16 @@ class ShardedPlan:
         return self.plan2.ntt(y, "gs", "rev2std", inverse=True)
 
     def _inv_a2a(self, z):
-        return jax.lax.all_to_all(z, self.axis, split_axis=2,
-                                  concat_axis=1, tiled=True)
+        """Mirror of _fwd_a2a: per-axis inverse exchanges, outermost
+        first (exact inverse of the forward composition)."""
+        for ax in self.axes:
+            z = jax.lax.all_to_all(z, ax, split_axis=2,
+                                   concat_axis=1, tiled=True)
+        return z
 
     def _inv_finish(self, z):
         """Inverse phase 3 (local): untwist + column INTTs."""
-        idx = jax.lax.axis_index(self.axis)
+        idx = self._axis_index()
         z = jnp.swapaxes(z, -1, -2)                       # (B, L2, n1)
         z = self.arith.mul_const(z, self._local_tw(self._t_inv, idx))
         z = self.plan1.ntt(z, "gs", "rev2std", inverse=True,
@@ -296,13 +346,19 @@ class ShardedPlan:
     def coef_spec(self):
         """PartitionSpec of a (batch, n1, n2) coefficient array:
         batch data-parallel (if batch_axis), coefficients sequence-parallel
-        over the transform axis."""
-        return P(self.batch_axis, None, self.axis)
+        over the transform axis (joint lexicographic for hierarchical)."""
+        ax = self.axes[0] if len(self.axes) == 1 else self.axes
+        return P(self.batch_axis, None, ax)
 
     @property
     def spec_spec(self):
-        """PartitionSpec of the four-step spectrum (batch, n1, n2)."""
-        return P(self.batch_axis, self.axis, None)
+        """PartitionSpec of the four-step spectrum (batch, n1, n2).
+        Hierarchical: the per-axis exchange leaves rows sharded over the
+        REVERSED axes tuple (row chunk r' = d2·D1 + d1 lands on device
+        (d1, d2)) — a pure relabeling the inverse path mirrors."""
+        if len(self.axes) == 1:
+            return P(self.batch_axis, self.axes[0], None)
+        return P(self.batch_axis, tuple(reversed(self.axes)), None)
 
     def shard_coeffs(self, a):
         """Device-put a (batch, n) array as a sharded (batch, n1, n2)
@@ -348,7 +404,8 @@ class ShardedPlan:
         along the batch axis instead would interleave different
         operands' rows across dp shards (caught by dryrun_multichip on
         the dp=2 x sp=4 mesh)."""
-        return P(None, self.batch_axis, None, self.axis)
+        ax = self.axes[0] if len(self.axes) == 1 else self.axes
+        return P(None, self.batch_axis, None, ax)
 
     def polymul_chain_jit(self, k: int):
         """Jitted k-product chain: f(stacked) with ``stacked`` a
