@@ -242,8 +242,9 @@ def _sparse_check(mul, n, q, rng, nnz=25, dtype=np.uint64):
     b = np.zeros((1, n), dtype=dtype)
     ia = rng.integers(0, n, nnz)
     ib = rng.integers(0, n, nnz)
-    a[0, ia] = rng.integers(0, q, nnz).astype(dtype)
-    b[0, ib] = rng.integers(0, q, nnz).astype(dtype)
+    # draw as uint64 (q may exceed int64 range for 64-bit moduli)
+    a[0, ia] = rng.integers(0, q, nnz, dtype=np.uint64).astype(dtype)
+    b[0, ib] = rng.integers(0, q, nnz, dtype=np.uint64).astype(dtype)
     c = np.asarray(mul(a, b))
     want = {}
     for i in np.unique(ia):
@@ -472,13 +473,19 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         # rings (n=2^16 / 2^20, 62-bit q) through the all-Pallas blocked
         # pipeline
         from tpu_ntt.bigq import BigQPlan
-        nring = {"bigq62": 4096, "bigq65536": 1 << 16,
+        nring = {"bigq62": 4096, "bigq64": 4096, "bigq65536": 1 << 16,
                  "bigq1m": 1 << 20}[config]
-        p = find_params(nring, 62)
+        if config == "bigq64":
+            # the canonical 64-bit NTT prime (goldilocks, 2^64-2^32+1):
+            # the top of the reference's K<=64 claim (defines.v:42)
+            from tpu_ntt.params import make_params as _mp
+            p = _mp(nring, 0xFFFFFFFF00000001)
+        else:
+            p = find_params(nring, 62)
         plan = BigQPlan(p)
         n, q = p.n, p.q
-        ah = rng.integers(0, q, (batch, n)).astype(np.uint64)
-        bh = rng.integers(0, q, (batch, n)).astype(np.uint64)
+        ah = rng.integers(0, q, (batch, n), dtype=np.uint64)
+        bh = rng.integers(0, q, (batch, n), dtype=np.uint64)
         a, b = ah, bh
         if plan.fused_kernel is not None:
             # chain on the packed planes (outputs are canonical, so they
@@ -555,19 +562,55 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             planes = 6 if type(kb).__name__ == "PallasBigQ" else 6 + 6 * k
             traffic = inner * (batch * n * 4 * planes + tw_bytes)
             if type(kb).__name__ == "PallasBigQ" and n >= 2048:
-                # flat (tile, h) kernel at h = n/2 >= 1024 lanes: roll
-                # distances reach h/2, far past the 512-lane lane unit's
-                # envelope — judge against the wide-lane ruler
-                def ceiling_fn(cal, bf=bf, extra=extra_ops):
+                # flat (tile, h) kernel: judged against its own measured
+                # whole-kernel class ceiling (calibrate.bigq_flat_ceiling
+                # — the shipped kernel's closures resident in VMEM, maxed
+                # with the streamed chained rate), with the per-section
+                # split/channels/Garner rulers committed as the row's
+                # diagnosis (VERDICT r4 next #1).  Falls back to the
+                # wide-lane stage ruler when the class unit is absent.
+                def ceiling_fn(cal, bf=bf, extra=extra_ops,
+                               rows=inner * batch):
+                    bq = cal.get("bigq_flat", {})
+                    pm = bq.get("polymul", {})
+                    if pm.get("mrows_per_s"):
+                        return rows / (pm["mrows_per_s"] * 1e6)
                     w = cal.get("stage_ceiling_lane_wide", {}).get("mont")
                     if not w:
                         return None
                     r = w["gbf_per_s"] * 1e9
                     return (bf + extra / OPS_PER_BUTTERFLY["mont"]) / r
+
+                def custom_phases(cal, rows=inner * batch):
+                    """Per-section resident rulers -> committed
+                    breakdown (compute-only: sections run in VMEM)."""
+                    bq = cal.get("bigq_flat", {})
+                    secs = bq.get("sections", {})
+                    if not secs:
+                        return None
+                    return [{"phase": nm,
+                             "compute_ms": round(
+                                 rows / (d["mrows_per_s"] * 1e6) * 1e3,
+                                 3),
+                             "hbm_ms": 0.0, "bound": "compute"}
+                            for nm, d in secs.items()
+                            if d.get("mrows_per_s")]
             if type(kb).__name__ == "PallasBigQBlocked":
                 # composed pipeline: serial-kernel phase model (split ->
                 # k channel products -> Garner), each phase its own
-                # compute-vs-HBM roofline
+                # compute-vs-HBM roofline.  When calibration carries the
+                # MEASURED per-phase batch-slope times at this ring size
+                # (calibrate.blocked_bigq_phase_times), the ceiling is
+                # the serial composition of the pipeline's own parts —
+                # tighter and kernel-true — and the measured per-phase
+                # seconds are committed as the row's diagnosis.
+                def _measured_phase_fn(cal, rows=inner * batch,
+                                       nring=n):
+                    bp = cal.get("bigq_blocked_phases", {})
+                    if bp.get("n") != nring or not bp.get(
+                            "composed_row_s"):
+                        return None
+                    return rows * bp["composed_row_s"]
                 import math
                 tot = inner * batch
                 phase_unit = tot * n * 4
@@ -609,8 +652,31 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 phases.append(dict(name="garner", bf=0.0,
                                    extra_ops=tot * n * garner_ops,
                                    passes=k + 2.0))
-                ceiling_fn = _phase_ceiling_fn("mont", phases,
-                                               phase_unit)
+                _model_fn = _phase_ceiling_fn("mont", phases,
+                                              phase_unit)
+
+                def ceiling_fn(cal):
+                    t = _measured_phase_fn(cal)
+                    return t if t is not None else _model_fn(cal)
+
+                def custom_phases(cal, rows=inner * batch, k=k,
+                                  nring=n):
+                    bp = cal.get("bigq_blocked_phases", {})
+                    if bp.get("n") != nring:
+                        return None
+                    per = bp.get("per_row_s", {})
+                    out = []
+                    for nm, mult in (("split", 1), ("k1", 2 * k),
+                                     ("k2", k), ("k3", k),
+                                     ("garner", 1)):
+                        if nm in per:
+                            out.append({"phase": nm + "_measured",
+                                        "compute_ms": round(
+                                            rows * per[nm] * mult * 1e3,
+                                            3),
+                                        "hbm_ms": 0.0,
+                                        "bound": "measured"})
+                    return out or None
         elif plan.dcrt is not None and plan.stacked is not None:
             # fully device-resident pipeline: chain packed-plane products
             # (output planes feed back as the next multiplicand)
@@ -745,10 +811,30 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                          passes=3.0 + 1.0 / T),
                     dict(name="k3_cols", bf=colbf, passes=2.0),
                 ]
-            ceiling_fn = _phase_ceiling_fn(flavor, phases, phase_unit)
+            _model_fn4 = _phase_ceiling_fn(flavor, phases, phase_unit)
+
+            def ceiling_fn(cal, rows=inner * batch, nring=n, qq=q,
+                           fl=flavor):
+                # whole-kernel class ceiling for the fused f32 four-step
+                # (calibrate.fourstep_class_ceiling: the shipped kernel
+                # resident-or-streamed max) — the r4 'judge f32 rows the
+                # way kyber is judged' item; phase model otherwise
+                fk = cal.get("fourstep_kernel_f32", {})
+                if (fl == "f32" and fk.get("mrows_per_s")
+                        and fk.get("n") == nring and fk.get("q") == qq):
+                    return rows / (fk["mrows_per_s"] * 1e6)
+                return _model_fn4(cal)
             traffic = phase_unit * sum(ph["passes"] for ph in phases)
     else:                                    # preset name: sw256/hw256/...
-        p = preset(config)
+        if config.endswith("cyc"):
+            # cyclic variant of a preset point — the HARDWARE's own
+            # product semantics (PolyMult.v:176-238, no psi twist): same
+            # fused kernels, psi=0 tables (VERDICT r4 missing #2)
+            from tpu_ntt.params import make_params as _mp
+            base = preset(config[:-3])
+            p = _mp(base.n, base.q, negacyclic=False)
+        else:
+            p = preset(config)
         if backend == "auto":
             # fastest available: fused Pallas kernel on TPU, else XLA plan
             from tpu_ntt.ops.butterfly import supported
@@ -762,9 +848,10 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             flavor = impl.flavor
             if not impl.cm:
                 lane_frac = 1.0   # rows layout: coefficients on lanes
-            # whole-kernel units exist only where the resident harness
-            # is a valid ceiling (see calibrate.kernel_class_ceiling)
-            key = {"shoup": "shoup256"}.get(flavor)
+            # whole-kernel class ceilings (resident-or-streamed max,
+            # calibrate.kernel_class_ceiling); the f32 class became
+            # valid once the streamed component was added (r5)
+            key = {"shoup": "shoup256", "f32": "f32_256"}.get(flavor)
             if p.n == 256 and impl.packed and impl.cm and key:
                 # whole-kernel-class resident ceiling for the n=256
                 # preset rows (calibrate.kernel_class_ceiling: the
@@ -821,7 +908,9 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
         row = np.asarray(out)[0].astype(object)
         a0 = np.asarray(a[0]).astype(object)
         b0 = np.asarray(b[0]).astype(object)
-        want = ref.schoolbook_negacyclic(a0, b0, q).astype(object)
+        oracle = (ref.schoolbook_cyclic if config.endswith("cyc")
+                  else ref.schoolbook_negacyclic)
+        want = oracle(a0, b0, q).astype(object)
         if not np.array_equal(row, want):
             raise AssertionError(f"bench {config} failed correctness check")
 
@@ -914,21 +1003,32 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                                 extra_ops=extra_ops, lane_frac=lane_frac,
                                 extra_slots=extra_slots,
                                 ceiling_fn=ceiling_fn))
-        if phases:
+        if phases or "custom_phases" in locals():
             # commit the per-phase compute-vs-HBM split alongside the
-            # fraction so a sub-ceiling row carries its own diagnosis
+            # fraction so a sub-ceiling row carries its own diagnosis;
+            # rows with MEASURED per-section rulers (bigq62/bigq1m)
+            # commit those instead of the modeled split
             from tpu_ntt.utils.calibrate import load_calibration
             cal = load_calibration()
             if cal is not None:
-                try:
-                    detail["phase_breakdown"] = [
-                        {"phase": nm, "compute_ms": round(tc * 1e3, 3),
-                         "hbm_ms": round(tm * 1e3, 3),
-                         "bound": "hbm" if tm > tc else "compute"}
-                        for nm, tc, tm in _phase_terms(
-                            cal, flavor, phases, phase_unit)]
-                except (TypeError, KeyError):
-                    pass
+                got = None
+                if "custom_phases" in locals():
+                    try:
+                        got = custom_phases(cal)
+                    except (TypeError, KeyError):
+                        got = None
+                if got is None and phases:
+                    try:
+                        got = [
+                            {"phase": nm, "compute_ms": round(tc * 1e3, 3),
+                             "hbm_ms": round(tm * 1e3, 3),
+                             "bound": "hbm" if tm > tc else "compute"}
+                            for nm, tc, tm in _phase_terms(
+                                cal, flavor, phases, phase_unit)]
+                    except (TypeError, KeyError):
+                        got = None
+                if got is not None:
+                    detail["phase_breakdown"] = got
         if "pe_fraction" in detail:
             log(f"[bench] {config}: {100 * detail['pe_fraction']:.0f}% of "
                 f"the measured stage speed-of-light ({flavor}"
@@ -950,10 +1050,10 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 # scheme kernels) so a sweep cut short by tunnel outages still refreshes
 # the rows that matter most first.
 SWEEP = [("sw256", 8192, 512), ("bigq62", 256, 32),
-         ("bigq65536", 16, 16), ("bigq1m", 2, 24),
+         ("bigq64", 256, 32), ("bigq65536", 16, 16), ("bigq1m", 2, 24),
          ("kyber", 8192, 512), ("dilithium256", 8192, 256),
          ("large", 16, 256), ("large23", 16, 256), ("xlarge", 4, 64),
-         ("hw256", 8192, 512),
+         ("hw256", 8192, 512), ("hw256cyc", 8192, 512),
          ("kyber_matvec", 2048, 192), ("dilithium_matvec", 1024, 192)]
 
 # backend matrix for the "one truth table": the same configs through every
@@ -1278,7 +1378,8 @@ def main():
                                fit=True)
     out = {
         "metric": f"ntt_butterflies_per_sec_per_chip ({args.config} "
-                  f"negacyclic polymul, batch={args.batch})",
+                  f"{'cyclic' if args.config.endswith('cyc') else 'negacyclic'}"
+                  f" polymul, batch={args.batch})",
         "value": round(bf_per_s / 1e9, 3),
         "unit": "Gbutterflies/s",
         "vs_baseline": round(bf_per_s / FPGA_BUTTERFLIES_PER_SEC, 1),

@@ -39,7 +39,8 @@ import numpy as np
 
 __all__ = ["calibrate", "load_calibration", "butterfly_ceiling",
            "kernel_class_ceiling", "incomplete_kernel_ceiling",
-           "hbm_bytes_per_s"]
+           "bigq_flat_ceiling", "fourstep_class_ceiling",
+           "blocked_bigq_phase_times", "hbm_bytes_per_s"]
 
 _H, _TILE, _BLOCKS = 128, 512, 16     # two (128, 512) planes per block
 _BROWS, _BLANES = 512, 1024           # 2 MB HBM streaming block
@@ -328,20 +329,64 @@ def _independent_products_rate(kernel_fn, n: int, tile: int, tabs,
             "unroll": unroll, "n": n, "q": q}
 
 
-def kernel_class_ceiling(kind: str, r_hi: int = 192) -> dict:
-    """Whole-kernel-class resident ceiling for the n=256 preset rows:
-    the EXACT shipped packed kernel function (ops/butterfly) with HBM
-    streaming and dispatch removed — what a perfectly-streamed version
-    of the same compute could reach.  ``kind``: "shoup256" (sw256/hw256
-    class) or "f32_256" (dilithium256 class).
+def _streamed_chain_rate(polymul_cm, n: int, q: int,
+                         batch: int = 4096) -> float:
+    """Best sustained rate of a STREAMED kernel, measured by device-side
+    chaining at three chain lengths with an interleaved min-time
+    least-squares fit (rows/s).  Used as a lower-bound component of the
+    whole-kernel class ceilings: resident fori_loop harnesses schedule
+    some kernel bodies worse than the streamed grid does (the f32 body
+    measured ~35% below its own streamed rate), so the class ceiling is
+    max(resident, streamed-at-calibration-time) — the best rate
+    demonstrably achievable on this chip, independent of any sweep run
+    judged against it."""
+    import jax
+    import jax.numpy as jnp
+    import time as _time
 
-    NOTE: only shoup256 is used by calibrate()/bench.  The f32 variant
-    measured ~35% BELOW the real streamed kernel's 4-point marginal
-    (33.4 vs 51.9 Mrows/s on v5e) — the resident fori_loop harness
-    schedules the float-assisted kernel body much worse than the
-    streamed grid does, so it is not a valid ceiling for that flavor;
-    the f32 rows are judged on the stage ceiling instead (within ~3%
-    of the streamed kernel's measured marginal)."""
+    rng2 = np.random.default_rng(1)
+    a = jnp.asarray(rng2.integers(0, q, (batch, n)), jnp.int32).T
+    b = jnp.asarray(rng2.integers(0, q, (batch, n)), jnp.int32).T
+
+    def chain(iv):
+        def f(x, y):
+            def body(_, ab):
+                x, y = ab
+                return polymul_cm(x, y), x
+            outv, _ = jax.lax.fori_loop(0, iv, body, (x, y))
+            return outv, jnp.max(outv)
+        return jax.jit(f)
+
+    fns = {iv: chain(iv) for iv in (128, 64, 32)}
+    mins = {}
+    for fv in fns.values():
+        r = fv(a, b)
+        int(np.asarray(r[1]))                 # compile + sync
+    for _visit in range(2):
+        for iv, fv in fns.items():
+            ts = []
+            for _ in range(6):
+                t0 = _time.perf_counter()
+                r = fv(a, b)
+                int(np.asarray(r[1]))
+                ts.append(_time.perf_counter() - t0)
+            mins[iv] = min(mins.get(iv, float("inf")), min(ts))
+    xs = np.array(list(mins), float)
+    ys = np.array([mins[iv] for iv in mins], float)
+    den = float(((xs - xs.mean()) ** 2).sum())
+    slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()) / den
+    return batch / slope if slope > 0 else 0.0
+
+
+def kernel_class_ceiling(kind: str, r_hi: int = 192) -> dict:
+    """Whole-kernel-class ceiling for the n=256 preset rows: the EXACT
+    shipped packed kernel function (ops/butterfly) with HBM streaming
+    and dispatch removed (resident harness), maxed with the streamed
+    chained rate measured at calibration time.  ``kind``: "shoup256"
+    (sw256/hw256 class) or "f32_256" (dilithium256 class — VERDICT r4
+    next #5: previously judged on the generic stage ruler because the
+    resident harness alone under-reads the float-assisted body ~35%;
+    the streamed component makes the class ceiling valid for it)."""
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -358,8 +403,13 @@ def kernel_class_ceiling(kind: str, r_hi: int = 192) -> dict:
                            memory_space=pltpu.VMEM)
     tabs = tuple(jnp.asarray(t) for t in
                  (pk._ptwf, pk._ptwfsh, pk._ptwi, pk._ptwish))
-    return _independent_products_rate(kernel_fn, n, tile, tabs,
-                                      [tw_spec] * 4, q, r_hi)
+    out = _independent_products_rate(kernel_fn, n, tile, tabs,
+                                     [tw_spec] * 4, q, r_hi)
+    streamed = _streamed_chain_rate(pk.polymul_cm, n, q) / 1e6
+    out["streamed_mrows_per_s"] = round(streamed, 2)
+    out["resident_mrows_per_s"] = out["mrows_per_s"]
+    out["mrows_per_s"] = round(max(out["mrows_per_s"], streamed), 2)
+    return out
 
 
 def incomplete_kernel_ceiling(r_hi: int = 192, n: int = 256,
@@ -408,46 +458,11 @@ def incomplete_kernel_ceiling(r_hi: int = 192, n: int = 256,
     # The resident fori_loop harness cannot pipeline across loop
     # iterations the way the streamed grid pipelines across blocks, so
     # for this roll-heavy kernel it reads a few percent BELOW the real
-    # kernel's sustained rate.  Measure the streamed kernel itself
-    # (device-chained, interleaved 3-point min fit) and take the max:
-    # the class ceiling is the best sustained rate demonstrably
-    # achievable on this chip, measured at calibration time —
-    # independent of any sweep run that will be judged against it.
-    import time as _time
-
-    batch = 4096
-    rng2 = np.random.default_rng(1)
-    a = jnp.asarray(rng2.integers(0, q, (batch, n)), jnp.int32).T
-    b = jnp.asarray(rng2.integers(0, q, (batch, n)), jnp.int32).T
-
-    def chain(iv):
-        def f(x, y):
-            def body(_, ab):
-                x, y = ab
-                return pk.polymul_cm(x, y), x
-            outv, _ = jax.lax.fori_loop(0, iv, body, (x, y))
-            return outv, jnp.max(outv)
-        return jax.jit(f)
-
-    fns = {iv: chain(iv) for iv in (128, 64, 32)}
-    mins = {}
-    for fv in fns.values():
-        r = fv(a, b)
-        int(np.asarray(r[1]))                 # compile + sync
-    for _visit in range(2):
-        for iv, fv in fns.items():
-            ts = []
-            for _ in range(6):
-                t0 = _time.perf_counter()
-                r = fv(a, b)
-                int(np.asarray(r[1]))
-                ts.append(_time.perf_counter() - t0)
-            mins[iv] = min(mins.get(iv, float("inf")), min(ts))
-    xs = np.array(list(mins), float)
-    ys = np.array([mins[iv] for iv in mins], float)
-    den = float(((xs - xs.mean()) ** 2).sum())
-    slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()) / den
-    streamed = batch / slope / 1e6 if slope > 0 else 0.0
+    # kernel's sustained rate.  Measure the streamed kernel itself and
+    # take the max: the class ceiling is the best sustained rate
+    # demonstrably achievable on this chip, measured at calibration
+    # time — independent of any sweep run judged against it.
+    streamed = _streamed_chain_rate(pk.polymul_cm, n, q) / 1e6
     out["polymul"]["streamed_mrows_per_s"] = round(streamed, 2)
     out["polymul"]["resident_mrows_per_s"] = out["polymul"]["mrows_per_s"]
     out["polymul"]["mrows_per_s"] = round(
@@ -467,6 +482,438 @@ def incomplete_kernel_ceiling(r_hi: int = 192, n: int = 256,
     out["roundtrip"] = _independent_products_rate(
         rt_kernel, n, tile, tabs, [tw_spec] * 4 + [t_spec] * 2, q, r_hi)
     return out
+
+
+def bigq_flat_ceiling(n: int = 4096, qbits: int = 62,
+                      r_hi: int = 48) -> dict:
+    """Whole-kernel-class ceiling + per-section breakdown for the flat
+    one-kernel big-q class (ops/bigq_kernel.PallasBigQ at the bigq62
+    sweep point) — the incomplete_kernel methodology applied to the one
+    row that had neither a >=0.90 fraction nor a committed diagnosis
+    (VERDICT r4 next #1).
+
+    Three resident units, all built from the SHIPPED kernel's own
+    closures (ops/bigq_kernel._flat_pieces):
+
+    - ``split``:    chunk extraction + all-k channel residues (×2 operands)
+    - ``channels``: all-k packed fwd×2 + pointwise + inv + final scale
+    - ``garner``:   signed Garner CRT + Barrett mod-q + plane packing (×2
+                    output plane pairs, matching the kernel's A/B halves)
+
+    plus the full kernel resident rate and its streamed chained rate;
+    the class ceiling is max(resident, streamed).  Sections let a
+    sub-ceiling sweep row name the dominant term instead of shipping an
+    opaque fraction."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..bigq import select_rns_primes
+    from ..ops import bigq_kernel as bk
+    from ..params import find_params
+
+    p = find_params(n, qbits)
+    primes = select_rns_primes(n, 1 + p.log2n + 2 * qbits + 1)
+    kb = bk.PallasBigQ(n, primes, p.q)
+    tile, k = kb.tile, len(primes)
+    pc = bk._flat_pieces(n, kb.primes, kb.q, tile)
+    h, wide = pc["h"], pc["wide"]
+    kernel_fn = bk._make_bigq_kernel(n, kb.primes, kb.q, tile)
+
+    rng = np.random.default_rng(0)
+    nblk = 4                                  # grid blocks resident
+    vals = rng.integers(0, p.q, (nblk * tile, n), dtype=np.uint64)
+    from ..ops.limb import pack_u64_planes
+    lo_np, hi_np = pack_u64_planes(vals, wide=wide)
+    lo = jnp.asarray(lo_np)
+    hi = jnp.asarray(hi_np)
+    twf = jnp.asarray(kb._twf)
+    twi = jnp.asarray(kb._twi)
+    data_spec = pl.BlockSpec((tile, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    tw_spec = pl.BlockSpec(kb._twf.shape, lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def measure(make_kernel, extra_outs=0):
+        """Resident two-point fit of a (loop-body) kernel factory."""
+        def run(outer):
+            call = pl.pallas_call(
+                make_kernel(outer), grid=(nblk,),
+                in_specs=[data_spec] * 4 + [tw_spec] * 2,
+                out_specs=data_spec,
+                out_shape=jax.ShapeDtypeStruct(lo.shape, jnp.int32))
+            f = jax.jit(lambda a, b, c, d: jnp.max(call(a, b, c, d,
+                                                        twf, twi)))
+            return _min_time(lambda: f(lo, hi, lo, hi), iters=8)
+
+        r_lo = max(1, r_hi // 4)
+        t_hi = t_lo = np.inf
+        for _visit in range(2):
+            t_hi = min(t_hi, run(r_hi))
+            t_lo = min(t_lo, run(r_lo))
+        slope = (t_hi - t_lo) / (r_hi - r_lo)
+        rows = nblk * tile
+        return {"mrows_per_s": round(rows / slope / 1e6, 3)
+                if slope > 0 else float("nan"),
+                "t_hi_s": t_hi, "t_lo_s": t_lo}
+
+    ops, garner = pc["ops"], pc["garner"]
+    channel_products = pc["channel_products"]
+
+    def full_kernel(outer):
+        def kern(la_ref, ha_ref, lb_ref, hb_ref, twf_ref, twi_ref,
+                 o_ref):
+            twf_, twi_ = twf_ref[...], twi_ref[...]
+
+            def body(_, st):
+                la, ha, lb, hb, acc = st
+                out = _Box()
+                kernel_fn(_Box(la), _Box(ha), _Box(lb), _Box(hb),
+                          _Box(twf_), _Box(twi_), out, _Box())
+                acc = acc ^ out.v
+                return (pltpu.roll(la, 1, 1), pltpu.roll(ha, 1, 1),
+                        pltpu.roll(lb, 2, 1), pltpu.roll(hb, 2, 1),
+                        acc)
+
+            st = jax.lax.fori_loop(
+                0, outer, body,
+                (la_ref[...], ha_ref[...], lb_ref[...], hb_ref[...],
+                 jnp.zeros_like(la_ref[...])))
+            o_ref[...] = st[4]
+        return kern
+
+    def split_kernel(outer):
+        def kern(la_ref, ha_ref, lb_ref, hb_ref, twf_ref, twi_ref,
+                 o_ref):
+            del twf_ref, twi_ref
+
+            def body(_, st):
+                la, ha, lb, hb, acc = st
+                ca = bk._chunks(la, ha, wide)
+                cb = bk._chunks(lb, hb, wide)
+                for i in range(k):
+                    acc = acc ^ ops[i]["residue"](*ca)
+                    acc = acc ^ ops[i]["residue"](*cb)
+                return (pltpu.roll(la, 1, 1), pltpu.roll(ha, 1, 1),
+                        pltpu.roll(lb, 2, 1), pltpu.roll(hb, 2, 1),
+                        acc)
+
+            st = jax.lax.fori_loop(
+                0, outer, body,
+                (la_ref[...], ha_ref[...], lb_ref[...], hb_ref[...],
+                 jnp.zeros_like(la_ref[...])))
+            o_ref[...] = st[4]
+        return kern
+
+    def channels_kernel(outer):
+        def kern(la_ref, ha_ref, lb_ref, hb_ref, twf_ref, twi_ref,
+                 o_ref):
+            twf_, twi_ = twf_ref[...], twi_ref[...]
+            ca = bk._chunks(la_ref[...], ha_ref[...], wide)
+            cb = bk._chunks(lb_ref[...], hb_ref[...], wide)
+            ra0 = [ops[i]["residue"](*ca) for i in range(k)]
+            rb0 = [ops[i]["residue"](*cb) for i in range(k)]
+
+            def body(_, st):
+                ra, rb, acc = st
+                prods = channel_products(ra, rb, twf_, twi_)
+                for A, B in prods:
+                    acc = acc ^ jnp.concatenate([A, B], axis=1)
+                return ([pltpu.roll(r, 1, 1) for r in ra],
+                        [pltpu.roll(r, 2, 1) for r in rb], acc)
+
+            st = jax.lax.fori_loop(
+                0, outer, body, (ra0, rb0, jnp.zeros_like(la_ref[...])))
+            o_ref[...] = st[2]
+        return kern
+
+    def garner_kernel(outer):
+        def kern(la_ref, ha_ref, lb_ref, hb_ref, twf_ref, twi_ref,
+                 o_ref):
+            del twf_ref, twi_ref
+            ca = bk._chunks(la_ref[...], ha_ref[...], wide)
+            cb = bk._chunks(lb_ref[...], hb_ref[...], wide)
+            pa0 = [ops[i]["residue"](*ca)[:, :h] for i in range(k)]
+            pb0 = [ops[i]["residue"](*cb)[:, :h] for i in range(k)]
+
+            def body(_, st):
+                pa, pb, acc = st
+                loA, hiA = garner(pa)
+                loB, hiB = garner(pb)
+                acc = acc ^ jnp.concatenate([loA ^ hiA, loB ^ hiB],
+                                            axis=1)
+                return ([pltpu.roll(x, 1, 1) for x in pa],
+                        [pltpu.roll(x, 2, 1) for x in pb], acc)
+
+            st = jax.lax.fori_loop(
+                0, outer, body, (pa0, pb0, jnp.zeros_like(la_ref[...])))
+            o_ref[...] = st[2]
+        return kern
+
+    out = {"n": n, "q": int(p.q), "k": k, "tile": tile,
+           "polymul": measure(full_kernel),
+           "sections": {"split": measure(split_kernel),
+                        "channels": measure(channels_kernel),
+                        "garner": measure(garner_kernel)}}
+
+    # streamed chained rate of the REAL kernel (packed-plane chain)
+    import time as _time
+
+    batch = 512
+    vals2 = rng.integers(0, p.q, (batch, n), dtype=np.uint64)
+    l2, h2 = pack_u64_planes(vals2, wide=wide)
+    la = jnp.asarray(l2)
+    ha = jnp.asarray(h2)
+
+    def chain(iv):
+        def f(a1, b1, a2, b2):
+            def body(_, st):
+                x1, x2, y1, y2 = st
+                lc, hc = kb.polymul_planes(x1, x2, y1, y2)
+                return lc, hc, x1, x2
+            st = jax.lax.fori_loop(0, iv, body, (a1, b1, a2, b2))
+            return st[0], jnp.max(st[0])
+        return jax.jit(f)
+
+    fns = {iv: chain(iv) for iv in (32, 16, 8)}
+    mins = {}
+    for fv in fns.values():
+        int(np.asarray(fv(la, ha, la, ha)[1]))
+    for _visit in range(2):
+        for iv, fv in fns.items():
+            ts = []
+            for _ in range(6):
+                t0 = _time.perf_counter()
+                int(np.asarray(fv(la, ha, la, ha)[1]))
+                ts.append(_time.perf_counter() - t0)
+            mins[iv] = min(mins.get(iv, float("inf")), min(ts))
+    xs = np.array(list(mins), float)
+    ys = np.array([mins[iv] for iv in mins], float)
+    den = float(((xs - xs.mean()) ** 2).sum())
+    slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()) / den
+    streamed = batch / slope / 1e6 if slope > 0 else 0.0
+    out["polymul"]["streamed_mrows_per_s"] = round(streamed, 3)
+    out["polymul"]["resident_mrows_per_s"] = out["polymul"]["mrows_per_s"]
+    out["polymul"]["mrows_per_s"] = round(
+        max(out["polymul"]["mrows_per_s"], streamed), 3)
+    return out
+
+
+def fourstep_class_ceiling(flavor: str = "f32", n: int = 1 << 16,
+                           r_hi: int = 48) -> dict:
+    """Whole-kernel-class ceiling for the fused four-step kernels at the
+    large/large23 sweep shapes: the EXACT shipped kernel function
+    (ops/fourstep._make_fourstep_kernel) run resident in VMEM with
+    independent operands per iteration, maxed with the streamed chained
+    rate — the same discipline as kernel_class_ceiling, applied to the
+    class the f32 large-ring row is judged against (VERDICT r4 next #5).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ..ops import fourstep as fsm
+    from ..params import find_params, make_params
+
+    p = (make_params(n, 7340033) if flavor == "f32"
+         else find_params(n, 28))
+    fs = fsm.PallasFourStep(p)
+    tile, n1, n2 = fs.tile, fs.n1, fs.n2
+    kernel_fn = fsm._make_fourstep_kernel(fs.p1, fs.p2, p.q, tile)
+    tabs_np = (fs._ctwf, fs._ctwfsh, fs._ctwi, fs._ctwish,
+               fs._rtwf, fs._rtwfsh, fs._rtwi, fs._rtwish,
+               fs._twfA, fs._twfAsh, fs._twfB, fs._twfBsh,
+               fs._twiA, fs._twiAsh, fs._twiB, fs._twiBsh)
+    tabs = tuple(jnp.asarray(t) for t in tabs_np)
+
+    rng = np.random.default_rng(0)
+    nblk = 4
+    x = jnp.asarray(rng.integers(0, p.q, (nblk * tile, n1, n2)),
+                    jnp.int32)
+    y = jnp.asarray(rng.integers(0, p.q, (nblk * tile, n1, n2)),
+                    jnp.int32)
+    data_spec = pl.BlockSpec((tile, n1, n2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def tab_spec(t):
+        return pl.BlockSpec(t.shape, lambda i, s=len(t.shape):
+                            (0,) * s, memory_space=pltpu.VMEM)
+
+    def make(outer):
+        def kern(a_ref, b_ref, *rest):
+            tab_vals = [r[...] for r in rest[:-1]]
+            o_ref = rest[-1]
+
+            def body(_, st):
+                a, b, acc = st
+                out = _Box()
+                kernel_fn(_Box(a), _Box(b),
+                          *[_Box(t) for t in tab_vals], out)
+                acc = acc ^ out.v
+                return (pltpu.roll(a, 1, 1), pltpu.roll(b, 1, 2), acc)
+
+            a, b, acc = jax.lax.fori_loop(
+                0, outer, body,
+                (a_ref[...], b_ref[...], jnp.zeros_like(a_ref[...])))
+            o_ref[...] = acc
+        return kern
+
+    def run(outer):
+        call = pl.pallas_call(
+            make(outer), grid=(nblk,),
+            in_specs=[data_spec, data_spec] + [tab_spec(t)
+                                               for t in tabs_np],
+            out_specs=data_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32))
+        f = jax.jit(lambda a, b: jnp.max(call(a, b, *tabs)))
+        return _min_time(lambda: f(x, y), iters=8)
+
+    r_lo = max(1, r_hi // 4)
+    t_hi = t_lo = np.inf
+    for _visit in range(2):
+        t_hi = min(t_hi, run(r_hi))
+        t_lo = min(t_lo, run(r_lo))
+    slope = (t_hi - t_lo) / (r_hi - r_lo)
+    rows = nblk * tile
+    out = {"mrows_per_s": round(rows / slope / 1e6, 4)
+           if slope > 0 else float("nan"),
+           "t_hi_s": t_hi, "t_lo_s": t_lo, "r_hi": r_hi,
+           "n": n, "q": int(p.q), "flavor": flavor}
+
+    # streamed chained component (outputs are canonical: chainable)
+    import time as _time
+
+    batch = 16
+    a2 = jnp.asarray(rng.integers(0, p.q, (batch, n)), jnp.int32)
+    b2 = jnp.asarray(rng.integers(0, p.q, (batch, n)), jnp.int32)
+
+    def chain(iv):
+        def f(u, v):
+            def body(_, ab):
+                u, v = ab
+                return fs.polymul(u, v), u
+            outv, _ = jax.lax.fori_loop(0, iv, body, (u, v))
+            return outv, jnp.max(outv)
+        return jax.jit(f)
+
+    fns = {iv: chain(iv) for iv in (64, 32, 16)}
+    mins = {}
+    for fv in fns.values():
+        int(np.asarray(fv(a2, b2)[1]))
+    for _visit in range(2):
+        for iv, fv in fns.items():
+            ts = []
+            for _ in range(6):
+                t0 = _time.perf_counter()
+                int(np.asarray(fv(a2, b2)[1]))
+                ts.append(_time.perf_counter() - t0)
+            mins[iv] = min(mins.get(iv, float("inf")), min(ts))
+    xs = np.array(list(mins), float)
+    ys = np.array([mins[iv] for iv in mins], float)
+    den = float(((xs - xs.mean()) ** 2).sum())
+    slope2 = float(((xs - xs.mean()) * (ys - ys.mean())).sum()) / den
+    streamed = batch / slope2 / 1e6 if slope2 > 0 else 0.0
+    out["streamed_mrows_per_s"] = round(streamed, 4)
+    out["resident_mrows_per_s"] = out["mrows_per_s"]
+    out["mrows_per_s"] = round(max(out["mrows_per_s"], streamed), 4)
+    return out
+
+
+def blocked_bigq_phase_times(n: int = 1 << 20, qbits: int = 62,
+                             b_hi: int = 8, b_lo: int = 2) -> dict:
+    """Measured per-phase marginal costs of the blocked big-q pipeline
+    (bigq.PallasBigQBlocked at the bigq1m sweep point): each phase
+    kernel — split, channel K1/K2/K3 (channel 0, identical op count per
+    prime), Garner — timed standalone over two batch sizes; the slope is
+    that phase's seconds-per-row with dispatch excluded.  The sum prices
+    a 'serial composition of its own parts' ceiling for the pipeline,
+    and the per-phase terms name where the time goes (VERDICT r4 next
+    #1: bigq1m needs a committed per-section breakdown or a fix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..bigq import BigQPlan
+    from ..params import find_params
+    from ..ops.limb import pack_u64_planes
+
+    p = find_params(n, qbits)
+    plan = BigQPlan(p)
+    kb = plan.fused_kernel
+    if kb is None or not hasattr(kb, "channels"):
+        raise RuntimeError("blocked pipeline not selected at this point")
+    k = len(kb.primes)
+    ck = kb.channels.kernels[0]
+    n1, n2 = ck.n1, ck.n2
+    rng = np.random.default_rng(0)
+
+    def fit(make_fn, mk_args):
+        pts = {}
+        fns = {}
+        for bsz in (b_hi, b_lo):
+            args = mk_args(bsz)
+            f = make_fn()
+            fns[bsz] = (f, args)
+            np.asarray(jax.tree_util.tree_leaves(f(*args))[0])  # compile
+        for _visit in range(2):
+            for bsz, (f, args) in fns.items():
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    np.asarray(jax.tree_util.tree_leaves(f(*args))[0])
+                    ts.append(time.perf_counter() - t0)
+                pts[bsz] = min(pts.get(bsz, np.inf), min(ts))
+        return (pts[b_hi] - pts[b_lo]) / (b_hi - b_lo)   # s per row
+
+    # split: packed planes -> k residue planes
+    def mk_split_args(bsz):
+        vals = rng.integers(0, p.q, (bsz, n), dtype=np.uint64)
+        lo, hi = pack_u64_planes(vals, wide=kb.wide)
+        return jnp.asarray(lo), jnp.asarray(hi)
+
+    t_split = fit(lambda: jax.jit(kb.split.split_planes), mk_split_args)
+
+    # channel kernels on channel 0 (op count identical across primes)
+    k1tabs = (ck._ctwf, ck._ctwfsh, ck._twfA, ck._twfAsh,
+              ck._twfB, ck._twfBsh)
+    k2tabs = (ck._rtwf, ck._rtwfsh, ck._rtwi, ck._rtwish,
+              ck._twi_full, ck._twish_full)
+    k3tabs = (ck._ctwi, ck._ctwish)
+    call_k1, call_k2, call_k3 = ck._calls
+
+    def mk_mat_args(bsz):
+        x = rng.integers(0, ck.params.q, (bsz, n1, n2))
+        return (jnp.asarray(x, jnp.int32),)
+
+    def mk_mat2_args(bsz):
+        x = rng.integers(0, ck.params.q, (bsz, n1, n2))
+        y = rng.integers(0, ck.params.q, (bsz, n1, n2))
+        return jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32)
+
+    t_k1 = fit(lambda: jax.jit(lambda x: call_k1(x, *k1tabs)),
+               mk_mat_args)
+    t_k2 = fit(lambda: jax.jit(lambda x, y: call_k2(x, y, *k2tabs)),
+               mk_mat2_args)
+    t_k3 = fit(lambda: jax.jit(lambda x: call_k3(x, *k3tabs)),
+               mk_mat_args)
+
+    # garner: k channel planes -> packed output planes
+    def mk_garner_args(bsz):
+        r = rng.integers(0, min(kb.primes), (k, bsz, n))
+        return (jnp.asarray(r, jnp.int32),)
+
+    t_garner = fit(lambda: jax.jit(kb.garner.garner_planes),
+                   mk_garner_args)
+
+    total = t_split + k * (2 * t_k1 + t_k2 + t_k3) + t_garner
+    return {"n": n, "q": int(p.q), "k": k,
+            "per_row_s": {"split": t_split, "k1": t_k1, "k2": t_k2,
+                          "k3": t_k3, "garner": t_garner},
+            "composed_row_s": total,
+            "note": "k1 counted twice (operands a and b), channel "
+                    "kernels x k channels; measured batch-slope, "
+                    "dispatch excluded"}
 
 
 def hbm_bytes_per_s(nblocks: int = 128, reps_hi: int = 32) -> dict:
@@ -528,8 +975,19 @@ def calibrate(path: pathlib.Path | str | None = None) -> dict:
            "stage_ceiling_lane_wide": {
                "mont": butterfly_ceiling("mont", repack=True,
                                          layout="lane_wide")},
-           "kernel_ceiling": {"shoup256": kernel_class_ceiling("shoup256")},
+           "kernel_ceiling": {
+               "shoup256": kernel_class_ceiling("shoup256"),
+               "f32_256": kernel_class_ceiling("f32_256")},
            "incomplete_kernel": incomplete_kernel_ceiling()}
+    # big-q class rulers (each tolerates failure independently — a
+    # tunnel hiccup on one must not lose the whole artifact)
+    for key, fn in (("bigq_flat", bigq_flat_ceiling),
+                    ("fourstep_kernel_f32", fourstep_class_ceiling),
+                    ("bigq_blocked_phases", blocked_bigq_phase_times)):
+        try:
+            out[key] = fn()
+        except Exception as e:                # pragma: no cover
+            out[key] = {"error": f"{type(e).__name__}: {e}"}
     out.update(hbm_bytes_per_s())
     p = pathlib.Path(path) if path else _CAL_PATH
     p.write_text(json.dumps(out, indent=1))
