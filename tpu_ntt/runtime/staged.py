@@ -76,28 +76,40 @@ class StagedSession:
 
     # ------------------------------------------------------------------
 
-    def _stage(self, a) -> Any:
-        """Host array -> device buffer of the session's fixed shape
-        (the DMA write into the mapped region)."""
-        import jax
+    def _check(self, a) -> np.ndarray:
         a = np.asarray(a)
         if a.shape != (self.batch, self.n):
             raise ValueError(
                 f"staged session is fixed at shape {(self.batch, self.n)}"
                 f" (got {a.shape}); build a new session for a new shape")
-        return jax.device_put(a.astype(np.int64).astype(np.int32))
+        return a.astype(np.int64).astype(np.int32)
+
+    def stage(self, a) -> Any:
+        """EXPLICIT mode-1/2 staging: host array -> device buffer of the
+        session's fixed shape (the DMA write into the mapped region).
+        Optional — ``multiply_device`` folds the transfer into the GO
+        dispatch, which on a tunneled transport saves one round-trip per
+        operand; use ``stage`` when an operand is reused across calls
+        (pay its transfer once, the on-chip-RAM posture)."""
+        import jax
+        return jax.device_put(self._check(a))
 
     def multiply_device(self, a, b):
         """Product as a DEVICE array (no d2h) — data stays resident for
-        the next call, the on-chip-RAM-between-GOs posture."""
+        the next call, the on-chip-RAM-between-GOs posture.  Operands
+        may be host arrays (transfer folds into the dispatch) or
+        buffers from :meth:`stage` / previous results."""
         from ..validation import check_domain
         check_domain(a, self.q, "staged multiply a")
         check_domain(b, self.q, "staged multiply b")
-        return self._fn_compiled(self._stage(a), self._stage(b))
+        a = a if not isinstance(a, np.ndarray) else self._check(a)
+        b = b if not isinstance(b, np.ndarray) else self._check(b)
+        return self._fn_compiled(a, b)
 
     def multiply(self, a, b) -> np.ndarray:
         """Host-to-host product (stage, GO, read back)."""
-        return np.asarray(self.multiply_device(a, b))
+        return np.asarray(self.multiply_device(np.asarray(a),
+                                               np.asarray(b)))
 
     # ------------------------------------------------------------------
 
