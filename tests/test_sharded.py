@@ -676,3 +676,24 @@ def test_hier_engine_dispatch(mesh2d, rng):
     for i in range(2):
         np.testing.assert_array_equal(
             c[i], ref.schoolbook_negacyclic(a[i], b[i], 12289))
+
+
+def test_hier_global_mesh_with_dp(rng):
+    """Production-shaped hierarchical mesh (dp x sp1 x sp2) through the
+    engine: batch dp-sharded, transform on the per-axis exchange."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tpu_ntt.parallel.multihost import global_mesh
+    from tpu_ntt.runtime.engine import PolyMultEngine
+    m = global_mesh(axes=("dp", "sp1", "sp2"), dp=2, sp1=2)
+    assert dict(m.shape) == {"dp": 2, "sp1": 2, "sp2": 2}
+    eng = PolyMultEngine(n=1024, q=12289, mesh=m)
+    assert eng.plan.axes == ("sp1", "sp2") and eng.plan.batch_axis == "dp"
+    a = rng.integers(0, 12289, (4, 1024))
+    b = rng.integers(0, 12289, (4, 1024))
+    c = eng.multiply(a, b)
+    for i in range(4):
+        np.testing.assert_array_equal(
+            c[i], ref.schoolbook_negacyclic(a[i], b[i], 12289))
+    with pytest.raises(ValueError, match="sp1"):
+        global_mesh(axes=("dp", "sp1", "sp2"), dp=2, sp1=3)

@@ -64,15 +64,27 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
                                    process_id=process_id)
 
 
-def global_mesh(axes=("dp", "sp"), dp: int = 1):
+def global_mesh(axes=("dp", "sp"), dp: int = 1, sp1: int | None = None):
     """Mesh over ALL devices (across hosts): dp outermost over hosts so
     the sequence-parallel all_to_all stays inside a host/slice (ICI),
-    never on DCN."""
+    never on DCN.
+
+    Hierarchical form: ``axes=("dp", "sp1", "sp2")`` with ``sp1`` the
+    first sp factor — the engine/ShardedPlan then run the per-axis
+    exchange with each all_to_all on its own torus dimension (map sp1
+    and sp2 onto the slice's two physical mesh dimensions)."""
     import jax
     devs = np.array(jax.devices())
     if devs.size % dp:
         raise ValueError(f"dp={dp} must divide device count {devs.size}")
     from jax.sharding import Mesh
+    if len(axes) == 3:
+        rest = devs.size // dp
+        if sp1 is None or rest % sp1:
+            raise ValueError(
+                f"hierarchical mesh needs sp1 dividing the {rest} "
+                f"non-dp devices (got sp1={sp1})")
+        return Mesh(devs.reshape(dp, sp1, rest // sp1), axes)
     return Mesh(devs.reshape(dp, -1), axes)
 
 
