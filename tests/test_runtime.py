@@ -366,3 +366,18 @@ def test_staged_session_overhead_harness(rng):
     d = sess.measure_overhead(iters=3)
     assert d["staged_us"] > 0 and d["engine_us"] > 0
     assert d["batch"] == 4 and d["n"] == 256
+
+
+def test_cli_multiply_cyclic(tmp_path, rng):
+    """--cyclic computes the hardware mode-3 semantics through the CLI."""
+    from tpu_ntt.cli import main
+    a = rng.integers(0, 7681, 256)
+    b = rng.integers(0, 7681, 256)
+    fa, fb, fo = tmp_path / "a.txt", tmp_path / "b.txt", tmp_path / "c.txt"
+    ntt_io.write_coefficients(fa, a)
+    ntt_io.write_coefficients(fb, b)
+    rc = main(["multiply", "-a", str(fa), "-b", str(fb), "--q", "7681",
+               "--cyclic", "-o", str(fo)])
+    assert rc == 0
+    np.testing.assert_array_equal(ntt_io.read_coefficients(fo),
+                                  ref.schoolbook_cyclic(a, b, 7681))

@@ -30,7 +30,8 @@ def _cmd_multiply(args):
     n = args.n or 1 << (max(len(a), len(b)) - 1).bit_length()
     a = np.pad(a, (0, n - len(a)))[:n]
     b = np.pad(b, (0, n - len(b)))[:n]
-    eng = PolyMultEngine(n=n, q=args.q, backend=args.backend)
+    eng = PolyMultEngine(n=n, q=args.q, backend=args.backend,
+                         negacyclic=not args.cyclic)
     c = eng.multiply(a[None], b[None])[0]
     if args.out:
         write_coefficients(args.out, c)
@@ -91,6 +92,10 @@ def main(argv=None) -> int:
                    "(default: padded to power of two)")
     m.add_argument("--q", type=int, default=12289)
     m.add_argument("--backend", default="auto")
+    m.add_argument("--cyclic", action="store_true",
+                   help="Z_q[x]/(x^n - 1) — the hardware mode-3 "
+                        "semantics (PolyMult.v computes the cyclic "
+                        "product; default is negacyclic x^n + 1)")
     m.set_defaults(fn=_cmd_multiply)
 
     s = sub.add_parser("selftest", help="progressive bring-up self-tests")
