@@ -161,3 +161,27 @@ def test_mesh_dispatch(rng):
     for i in range(2):
         np.testing.assert_array_equal(
             out[i], ref.schoolbook_negacyclic(a[i], b[i], R.q))
+
+
+def test_cyclic_mesh_and_fourstep_paths(rng):
+    """Cyclic rings are exact through the OTHER engine backends too:
+    the sharded four-step (mesh path) and the fused four-step kernel
+    (interpret) — psi=0 tables everywhere."""
+    if len(jax.devices()) >= 8:
+        from tpu_ntt.parallel.sharded import make_mesh
+        R = Ring(1024, 12289, negacyclic=False, mesh=make_mesh(8))
+        assert R._engine.kind == "sharded"
+        a, b = R.random((2, 1024), rng), R.random((2, 1024), rng)
+        c = R.mul(a, b)
+        for i in range(2):
+            np.testing.assert_array_equal(
+                c[i], ref.schoolbook_cyclic(a[i], b[i], 12289))
+    from tpu_ntt.ops.fourstep import PallasFourStep, supported
+    p = make_params(1 << 12, 12289, negacyclic=False)
+    assert supported(p)
+    fs = PallasFourStep(p, interpret=True)
+    a1 = rng.integers(0, p.q, (1, p.n)).astype(np.int32)
+    b1 = rng.integers(0, p.q, (1, p.n)).astype(np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(fs.polymul(a1, b1))[0],
+        ref.schoolbook_cyclic(a1[0], b1[0], p.q))
