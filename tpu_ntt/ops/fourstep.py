@@ -284,6 +284,13 @@ class PallasFourStep:
         self.mont = self.flavor == "mont"
         if tile is None:
             tile = max(1, (1 << 16) // p.n)  # polys per block (~256 KiB)
+            if self.flavor == "f32" and tile == 1:
+                # measured on v5e (r5): the f32 body's smaller live set
+                # leaves VMEM headroom a second resident poly converts
+                # into grid-pipeline overlap — marginal 138.6 vs 90.5
+                # Krows/s at n=2^16 (tile=4 regresses; mont regresses
+                # at tile=2 already, its working set is larger)
+                tile = 2
         self.tile = tile
         self.interpret = interpret
 

@@ -535,8 +535,10 @@ def bigq_flat_ceiling(n: int = 4096, qbits: int = 62,
     tw_spec = pl.BlockSpec(kb._twf.shape, lambda i: (0, 0, 0),
                            memory_space=pltpu.VMEM)
 
-    def measure(make_kernel, extra_outs=0):
+    def measure(make_kernel, r_hi_local: int | None = None):
         """Resident two-point fit of a (loop-body) kernel factory."""
+        rh = r_hi_local if r_hi_local is not None else r_hi
+
         def run(outer):
             call = pl.pallas_call(
                 make_kernel(outer), grid=(nblk,),
@@ -547,16 +549,16 @@ def bigq_flat_ceiling(n: int = 4096, qbits: int = 62,
                                                         twf, twi)))
             return _min_time(lambda: f(lo, hi, lo, hi), iters=8)
 
-        r_lo = max(1, r_hi // 4)
+        r_lo = max(1, rh // 4)
         t_hi = t_lo = np.inf
         for _visit in range(2):
-            t_hi = min(t_hi, run(r_hi))
+            t_hi = min(t_hi, run(rh))
             t_lo = min(t_lo, run(r_lo))
-        slope = (t_hi - t_lo) / (r_hi - r_lo)
+        slope = (t_hi - t_lo) / (rh - r_lo)
         rows = nblk * tile
         return {"mrows_per_s": round(rows / slope / 1e6, 3)
                 if slope > 0 else float("nan"),
-                "t_hi_s": t_hi, "t_lo_s": t_lo}
+                "t_hi_s": t_hi, "t_lo_s": t_lo, "r_hi": rh}
 
     ops, garner = pc["ops"], pc["garner"]
     channel_products = pc["channel_products"]
@@ -653,9 +655,9 @@ def bigq_flat_ceiling(n: int = 4096, qbits: int = 62,
 
     out = {"n": n, "q": int(p.q), "k": k, "tile": tile,
            "polymul": measure(full_kernel),
-           "sections": {"split": measure(split_kernel),
+           "sections": {"split": measure(split_kernel, 16 * r_hi),
                         "channels": measure(channels_kernel),
-                        "garner": measure(garner_kernel)}}
+                        "garner": measure(garner_kernel, 4 * r_hi)}}
 
     # streamed chained rate of the REAL kernel (packed-plane chain)
     import time as _time
@@ -849,19 +851,24 @@ def blocked_bigq_phase_times(n: int = 1 << 20, qbits: int = 62,
     rng = np.random.default_rng(0)
 
     def fit(make_fn, mk_args):
+        """Batch-slope fit; sync via a SCALAR witness — materialising a
+        (k, B, 2^20) output would time the tunnel d2h transfer (~1 s for
+        192 MB), not the kernel."""
         pts = {}
         fns = {}
         for bsz in (b_hi, b_lo):
             args = mk_args(bsz)
-            f = make_fn()
+            raw = make_fn()
+            f = jax.jit(lambda *a, _r=raw: jnp.max(
+                jax.tree_util.tree_leaves(_r(*a))[0]))
             fns[bsz] = (f, args)
-            np.asarray(jax.tree_util.tree_leaves(f(*args))[0])  # compile
+            int(np.asarray(f(*args)))                    # compile
         for _visit in range(2):
             for bsz, (f, args) in fns.items():
                 ts = []
                 for _ in range(5):
                     t0 = time.perf_counter()
-                    np.asarray(jax.tree_util.tree_leaves(f(*args))[0])
+                    int(np.asarray(f(*args)))
                     ts.append(time.perf_counter() - t0)
                 pts[bsz] = min(pts.get(bsz, np.inf), min(ts))
         return (pts[b_hi] - pts[b_lo]) / (b_hi - b_lo)   # s per row
@@ -872,7 +879,7 @@ def blocked_bigq_phase_times(n: int = 1 << 20, qbits: int = 62,
         lo, hi = pack_u64_planes(vals, wide=kb.wide)
         return jnp.asarray(lo), jnp.asarray(hi)
 
-    t_split = fit(lambda: jax.jit(kb.split.split_planes), mk_split_args)
+    t_split = fit(lambda: kb.split.split_planes, mk_split_args)
 
     # channel kernels on channel 0 (op count identical across primes)
     k1tabs = (ck._ctwf, ck._ctwfsh, ck._twfA, ck._twfAsh,
@@ -891,20 +898,17 @@ def blocked_bigq_phase_times(n: int = 1 << 20, qbits: int = 62,
         y = rng.integers(0, ck.params.q, (bsz, n1, n2))
         return jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32)
 
-    t_k1 = fit(lambda: jax.jit(lambda x: call_k1(x, *k1tabs)),
-               mk_mat_args)
-    t_k2 = fit(lambda: jax.jit(lambda x, y: call_k2(x, y, *k2tabs)),
+    t_k1 = fit(lambda: (lambda x: call_k1(x, *k1tabs)), mk_mat_args)
+    t_k2 = fit(lambda: (lambda x, y: call_k2(x, y, *k2tabs)),
                mk_mat2_args)
-    t_k3 = fit(lambda: jax.jit(lambda x: call_k3(x, *k3tabs)),
-               mk_mat_args)
+    t_k3 = fit(lambda: (lambda x: call_k3(x, *k3tabs)), mk_mat_args)
 
     # garner: k channel planes -> packed output planes
     def mk_garner_args(bsz):
         r = rng.integers(0, min(kb.primes), (k, bsz, n))
         return (jnp.asarray(r, jnp.int32),)
 
-    t_garner = fit(lambda: jax.jit(kb.garner.garner_planes),
-                   mk_garner_args)
+    t_garner = fit(lambda: kb.garner.garner_planes, mk_garner_args)
 
     total = t_split + k * (2 * t_k1 + t_k2 + t_k3) + t_garner
     return {"n": n, "q": int(p.q), "k": k,
