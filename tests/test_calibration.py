@@ -63,3 +63,27 @@ def test_bench_ruler_uses_artifact(cal, monkeypatch):
     fn = bench._phase_ceiling_fn("mont", phases, 1e6)
     t2 = fn(cal)
     assert t2 >= bench._measured_ceiling_s("mont", 1e9, 0.0, 0.5, 0.0)
+
+
+def test_round5_class_ruler_keys(cal):
+    """The round-5 whole-kernel class rulers the bench rows re-base on
+    (VERDICT r4 next #1/#5): a silent key rename would quietly send
+    those rows back to looser rulers."""
+    # f32 preset class: valid via the streamed component
+    f32 = cal["kernel_ceiling"]["f32_256"]
+    assert f32["mrows_per_s"] >= f32["resident_mrows_per_s"]
+    assert f32["mrows_per_s"] > 0
+    # flat big-q class + per-section diagnosis
+    bq = cal["bigq_flat"]
+    assert bq["n"] == 4096 and bq["polymul"]["mrows_per_s"] > 0
+    for sec in ("split", "channels", "garner"):
+        assert sec in bq["sections"]
+    # fused four-step f32 class at the large23 point
+    fk = cal["fourstep_kernel_f32"]
+    assert fk["n"] == 1 << 16 and fk["q"] == 7340033
+    assert fk["mrows_per_s"] > 0
+    # measured per-phase costs of the blocked big-q pipeline (bigq1m)
+    bp = cal["bigq_blocked_phases"]
+    assert bp["n"] == 1 << 20 and bp["composed_row_s"] > 0
+    for ph in ("split", "k1", "k2", "k3", "garner"):
+        assert bp["per_row_s"][ph] > 0

@@ -556,8 +556,22 @@ class PallasBigQ:
 # TPU backend schedules poorly; measured ~84% of big-q wall time in
 # round 1 before the fused kernel erased them structurally for small n).
 
-_SPLIT_ROWS = 8           # sublane rows per grid block
 _SPLIT_LANES = 512        # lane columns per grid block
+
+
+def _split_rows(total_rows: int, k: int) -> int:
+    """Sublane rows per grid block for the elementwise split/Garner
+    kernels: as large as VMEM comfortably allows.  The original fixed
+    8-row (16 KB) blocks made per-block overhead dominate at large n —
+    measured 670 µs/row each for split and Garner at n=2^20 (vs 55 µs
+    for a whole channel transform kernel), i.e. >50% of the blocked
+    big-q pipeline (r5 calibration, blocked_bigq_phase_times).  Budget:
+    ~(k + working) live (R, 512) planes within a few MB."""
+    budget = (4 << 20) // (_SPLIT_LANES * 4 * (k + 10))
+    r = 8
+    while r * 2 <= budget and total_rows % (r * 2) == 0 and r < 256:
+        r *= 2
+    return r
 
 
 class PallasRNSSplit:
@@ -577,20 +591,20 @@ class PallasRNSSplit:
         wide = self.wide
         ops = [_channel_ops(_ChannelConsts(p, wide=wide))
                for p in self.primes]
-        R, L = _SPLIT_ROWS, _SPLIT_LANES
+        L = _SPLIT_LANES
 
         def kernel(lo_ref, hi_ref, out_ref):
             c = _chunks(lo_ref[...], hi_ref[...], wide)
             for i in range(k):
                 out_ref[i] = ops[i]["residue"](*c)
 
-        spec = pl.BlockSpec((R, L), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((k, R, L), lambda i, j: (0, i, j),
-                                memory_space=pltpu.VMEM)
-
         def run(lo, hi):
             rows, cols = lo.shape
+            R = _split_rows(rows, k)
+            spec = pl.BlockSpec((R, L), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+            out_spec = pl.BlockSpec((k, R, L), lambda i, j: (0, i, j),
+                                    memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kernel,
                 grid=(rows // R, cols // L),
@@ -600,7 +614,7 @@ class PallasRNSSplit:
                 interpret=self.interpret,
             )(lo, hi)
 
-        return jax.jit(run)
+        return jax.jit(run, static_argnames=())
 
     def split_planes(self, lo, hi):
         """(batch, n) packed planes -> (k, batch, n) int32 residues.
@@ -608,7 +622,7 @@ class PallasRNSSplit:
         shape = lo.shape
         lo2 = lo.reshape(-1, _SPLIT_LANES)
         hi2 = hi.reshape(-1, _SPLIT_LANES)
-        assert lo2.shape[0] % _SPLIT_ROWS == 0
+        assert lo2.shape[0] % 8 == 0
         out = self._call(lo2, hi2)
         return out.reshape(len(self.primes), *shape)
 
@@ -629,20 +643,24 @@ class PallasGarner:
     def _call(self):
         k = len(self.primes)
         garner = _make_garner(self.primes, self.q)
-        R, L = _SPLIT_ROWS, _SPLIT_LANES
+        L = _SPLIT_LANES
 
         def kernel(in_ref, lo_ref, hi_ref):
             lo, hi = garner([in_ref[i] for i in range(k)])
             lo_ref[...] = lo
             hi_ref[...] = hi
 
-        in_spec = pl.BlockSpec((k, R, L), lambda i, j: (0, i, j),
-                               memory_space=pltpu.VMEM)
-        spec = pl.BlockSpec((R, L), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-
         def run(prods):
             _, rows, cols = prods.shape
+            # the Garner body carries ~2k+14 live limb planes: halve
+            # the split kernel's block budget
+            R = max(8, _split_rows(rows, 2 * k + 10) // 2)
+            while rows % R:
+                R //= 2
+            in_spec = pl.BlockSpec((k, R, L), lambda i, j: (0, i, j),
+                                   memory_space=pltpu.VMEM)
+            spec = pl.BlockSpec((R, L), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
             return pl.pallas_call(
                 kernel,
                 grid=(rows // R, cols // L),
@@ -660,6 +678,6 @@ class PallasGarner:
         k = prods.shape[0]
         shape = prods.shape[1:]
         p2 = prods.reshape(k, -1, _SPLIT_LANES)
-        assert p2.shape[1] % _SPLIT_ROWS == 0
+        assert p2.shape[1] % 8 == 0
         lo, hi = self._call(p2)
         return lo.reshape(shape), hi.reshape(shape)
