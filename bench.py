@@ -666,7 +666,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                         return None
                     per = bp.get("per_row_s", {})
                     out = []
-                    for nm, mult in (("split", 1), ("k1", 2 * k),
+                    for nm, mult in (("split", 2), ("k1", 2 * k),
                                      ("k2", k), ("k3", k),
                                      ("garner", 1)):
                         if nm in per:

@@ -797,6 +797,7 @@ def fourstep_class_ceiling(flavor: str = "f32", n: int = 1 << 16,
     import time as _time
 
     batch = 16
+    rng = np.random.default_rng(1)
     a2 = jnp.asarray(rng.integers(0, p.q, (batch, n)), jnp.int32)
     b2 = jnp.asarray(rng.integers(0, p.q, (batch, n)), jnp.int32)
 
@@ -919,14 +920,14 @@ def blocked_bigq_phase_times(n: int = 1 << 20, qbits: int = 62,
 
     t_garner = fit(lambda: kb.garner.garner_planes, mk_garner_args)
 
-    total = t_split + k * (2 * t_k1 + t_k2 + t_k3) + t_garner
+    total = 2 * t_split + k * (2 * t_k1 + t_k2 + t_k3) + t_garner
     return {"n": n, "q": int(p.q), "k": k,
             "per_row_s": {"split": t_split, "k1": t_k1, "k2": t_k2,
                           "k3": t_k3, "garner": t_garner},
             "composed_row_s": total,
-            "note": "k1 counted twice (operands a and b), channel "
-                    "kernels x k channels; measured batch-slope, "
-                    "dispatch excluded"}
+            "note": "split and k1 counted twice (operands a and b), "
+                    "channel kernels x k channels; measured "
+                    "batch-slope, dispatch excluded"}
 
 
 def hbm_bytes_per_s(nblocks: int = 128, reps_hi: int = 32) -> dict:
