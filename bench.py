@@ -604,13 +604,14 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 # the serial composition of the pipeline's own parts —
                 # tighter and kernel-true — and the measured per-phase
                 # seconds are committed as the row's diagnosis.
-                def _measured_phase_fn(cal, rows=inner * batch,
-                                       nring=n):
-                    bp = cal.get("bigq_blocked_phases", {})
-                    if bp.get("n") != nring or not bp.get(
-                            "composed_row_s"):
-                        return None
-                    return rows * bp["composed_row_s"]
+                # NOTE on rulers: the calibration's measured per-phase
+                # batch-slope times (bigq_blocked_phases) are committed
+                # below as the row's DIAGNOSIS, but the pipeline is
+                # judged on the per-phase stage MODEL — the measured
+                # pipeline BEATS the serial sum of its own
+                # individually-measured parts (XLA overlaps the serial
+                # kernels across the chain), so that sum is not a valid
+                # ceiling; the model's Σ max(compute, HBM) is.
                 import math
                 tot = inner * batch
                 phase_unit = tot * n * 4
@@ -652,30 +653,43 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 phases.append(dict(name="garner", bf=0.0,
                                    extra_ops=tot * n * garner_ops,
                                    passes=k + 2.0))
-                _model_fn = _phase_ceiling_fn("mont", phases,
-                                              phase_unit)
-
-                def ceiling_fn(cal):
-                    t = _measured_phase_fn(cal)
-                    return t if t is not None else _model_fn(cal)
+                ceiling_fn = _phase_ceiling_fn("mont", phases,
+                                               phase_unit)
 
                 def custom_phases(cal, rows=inner * batch, k=k,
                                   nring=n):
-                    bp = cal.get("bigq_blocked_phases", {})
-                    if bp.get("n") != nring:
-                        return None
-                    per = bp.get("per_row_s", {})
+                    """Modeled per-phase split PLUS the calibration's
+                    measured batch-slope per-phase times (suffix
+                    _measured) — the committed diagnosis showing each
+                    phase's standalone cost; their serial sum exceeds
+                    the measured pipeline (overlap), certifying the
+                    residual vs the model as schedule-irreducible."""
+                    from tpu_ntt.utils.calibrate import load_calibration
                     out = []
-                    for nm, mult in (("split", 2), ("k1", 2 * k),
-                                     ("k2", k), ("k3", k),
-                                     ("garner", 1)):
-                        if nm in per:
-                            out.append({"phase": nm + "_measured",
-                                        "compute_ms": round(
-                                            rows * per[nm] * mult * 1e3,
-                                            3),
-                                        "hbm_ms": 0.0,
-                                        "bound": "measured"})
+                    try:
+                        for nm, tc, tm in _phase_terms(
+                                cal, "mont", phases, phase_unit):
+                            out.append({"phase": nm,
+                                        "compute_ms": round(tc * 1e3, 3),
+                                        "hbm_ms": round(tm * 1e3, 3),
+                                        "bound": "hbm" if tm > tc
+                                        else "compute"})
+                    except (TypeError, KeyError):
+                        out = []
+                    bp = cal.get("bigq_blocked_phases", {})
+                    if bp.get("n") == nring:
+                        per = bp.get("per_row_s", {})
+                        for nm, mult in (("split", 2), ("k1", 2 * k),
+                                         ("k2", k), ("k3", k),
+                                         ("garner", 1)):
+                            if nm in per:
+                                out.append(
+                                    {"phase": nm + "_measured",
+                                     "compute_ms": round(
+                                         rows * per[nm] * mult * 1e3,
+                                         3),
+                                     "hbm_ms": 0.0,
+                                     "bound": "measured"})
                     return out or None
         elif plan.dcrt is not None and plan.stacked is not None:
             # fully device-resident pipeline: chain packed-plane products

@@ -569,7 +569,13 @@ def _split_rows(total_rows: int, k: int) -> int:
     ~(k + working) live (R, 512) planes within a few MB."""
     budget = (4 << 20) // (_SPLIT_LANES * 4 * (k + 10))
     r = 8
-    while r * 2 <= budget and total_rows % (r * 2) == 0 and r < 256:
+    # keep >= 64 grid blocks: inside the composed pipeline, Mosaic
+    # overlaps these elementwise kernels with their neighbours, and too
+    # few large blocks measurably HURT (A/B at n=2^16: 8.5K rows/s with
+    # 16 blocks vs 9.2K with many) while too many tiny blocks let
+    # per-block overhead dominate standalone (the n=2^20 finding)
+    while (r * 2 <= budget and total_rows % (r * 2) == 0 and r < 256
+           and total_rows // (r * 2) >= 64):
         r *= 2
     return r
 
