@@ -507,6 +507,8 @@ class PallasBigQ:
                     * (n.bit_length() - 1) * 10,
                     bytes_accessed=6 * lo_a.size * 4,
                     transcendentals=0),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 interpret=self.interpret,
             )(lo_a, hi_a, lo_b, hi_b, twf, twi)
 
@@ -617,6 +619,8 @@ class PallasRNSSplit:
                 in_specs=[spec, spec],
                 out_specs=out_spec,
                 out_shape=jax.ShapeDtypeStruct((k, rows, cols), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel")),
                 interpret=self.interpret,
             )(lo, hi)
 
@@ -674,6 +678,8 @@ class PallasGarner:
                 out_specs=[spec, spec],
                 out_shape=[jax.ShapeDtypeStruct((rows, cols),
                                                 jnp.int32)] * 2,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel")),
                 interpret=self.interpret,
             )(prods)
 

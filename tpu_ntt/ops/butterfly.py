@@ -854,6 +854,9 @@ class PallasPolymul:
                     flops=flops_est,
                     bytes_accessed=3 * a.size * 4,
                     transcendentals=0),
+                # independent batch blocks: let Mosaic pipeline the grid
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 interpret=self.interpret,
             )(a, b, twf, twfsh, twi, twish)
 
@@ -886,6 +889,9 @@ class PallasPolymul:
                     flops=flops_est,
                     bytes_accessed=3 * a.size * 4,
                     transcendentals=0),
+                # independent batch blocks: let Mosaic pipeline the grid
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 interpret=self.interpret,
             )(a, b, twf, twfsh, twi, twish)
 
@@ -987,6 +993,8 @@ class PallasPolymul:
                 in_specs=[data_spec, tw_spec, tw_spec],
                 out_specs=data_spec,
                 out_shape=jax.ShapeDtypeStruct(xin.shape, jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 interpret=self.interpret,
             )(xin, *tabs)
             if cm:
@@ -1563,6 +1571,8 @@ class PallasIncompletePolymul:
                 + [t_spec] * 2,
                 out_specs=data_spec,
                 out_shape=jax.ShapeDtypeStruct(a.shape, jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 interpret=self.interpret,
             )(a, b, *tabs)
 
@@ -1667,6 +1677,8 @@ class PallasIncompletePolymul:
                 out_specs=o_spec,
                 out_shape=jax.ShapeDtypeStruct((r * n, A.shape[1]),
                                                jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 interpret=self.interpret,
             )(A, s, *tabs)
 

@@ -391,6 +391,10 @@ class PallasFourStep:
                     * self.params.log2n * 10,
                     bytes_accessed=3 * a.size * 4,
                     transcendentals=0),
+                # independent batch blocks: pipeline the grid (measured
+                # +14% streamed at n=2^16 f32, r5)
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 interpret=self.interpret,
             )(a, b, *tabs)
 
@@ -614,6 +618,8 @@ class PallasFourStepBlocked:
                           twcol, twcol, twcol, twcol],
                 out_specs=col_spec,
                 out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel")),
                 interpret=interp)(x, *tabs)
 
         def call_k2(fa, fb, *tabs):
@@ -623,6 +629,8 @@ class PallasFourStepBlocked:
                 + [twrow, twrow],
                 out_specs=row_spec,
                 out_shape=jax.ShapeDtypeStruct(fa.shape, jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel")),
                 interpret=interp)(fa, fb, *tabs)
 
         def call_k3(c, *tabs):
@@ -631,6 +639,8 @@ class PallasFourStepBlocked:
                 in_specs=[col_spec, tab(tabs[0]), tab(tabs[1])],
                 out_specs=col_spec,
                 out_shape=jax.ShapeDtypeStruct(c.shape, jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel")),
                 interpret=interp)(c, *tabs)
 
         return call_k1, call_k2, call_k3

@@ -213,6 +213,8 @@ class PallasMatvec:
                 out_specs=o_spec,
                 out_shape=jax.ShapeDtypeStruct((r * n, A.shape[1]),
                                                jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 interpret=self.interpret,
             )(A, s, *tabs)
 
