@@ -407,3 +407,21 @@ def test_pallas_fused_matvec_all_flavors(rng):
     s = rng.integers(0, p.q, (1, 1, p.n)).astype(np.int32)
     np.testing.assert_array_equal(np.asarray(pk.matvec(A, s)),
                                   np.asarray(plan.matvec_jit(A, s)))
+
+
+def test_kernels_declare_parallel_grids():
+    """Every independent-grid pallas_call declares its grid dimensions
+    parallel — Mosaic treats undeclared grids as sequential and will not
+    pipeline across blocks (measured +14% on the f32 four-step when the
+    flag was first added, r5).  Source-level pin so a refactor cannot
+    silently drop it."""
+    import pathlib
+    import re
+    ops = pathlib.Path(__file__).resolve().parents[1] / "tpu_ntt" / "ops"
+    for name in ("butterfly.py", "fourstep.py", "bigq_kernel.py",
+                 "matvec.py"):
+        src = (ops / name).read_text()
+        calls = len(re.findall(r"pl\.pallas_call\(", src))
+        flags = src.count("dimension_semantics")
+        assert flags >= calls - (1 if name == "bigq_fourstep.py" else 0), \
+            (name, calls, flags)
