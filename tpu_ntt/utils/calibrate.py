@@ -223,6 +223,8 @@ def butterfly_ceiling(flavor: str, r_hi: int = 1024,
             make(outer), grid=(_BLOCKS,),
             in_specs=[spec, tw_spec, tw_spec],
             out_specs=spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32))
         f = jax.jit(lambda v: jnp.max(call(v, tw_j, comp_j)))
         return _min_time(lambda: f(x))
@@ -308,6 +310,8 @@ def _independent_products_rate(kernel_fn, n: int, tile: int, tabs,
             make(outer), grid=(_BLOCKS,),
             in_specs=[spec, spec] + list(tab_specs),
             out_specs=spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
             out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32))
         f = jax.jit(lambda a, b: jnp.max(call(a, b, *tabs)))
         return _min_time(lambda: f(x, y), iters=iters)
@@ -544,6 +548,8 @@ def bigq_flat_ceiling(n: int = 4096, qbits: int = 62,
                 make_kernel(outer), grid=(nblk,),
                 in_specs=[data_spec] * 4 + [tw_spec] * 2,
                 out_specs=data_spec,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 out_shape=jax.ShapeDtypeStruct(lo.shape, jnp.int32))
             f = jax.jit(lambda a, b, c, d: jnp.max(call(a, b, c, d,
                                                         twf, twi)))
@@ -773,6 +779,8 @@ def fourstep_class_ceiling(flavor: str = "f32", n: int = 1 << 16,
                 in_specs=[data_spec, data_spec] + [tab_spec(t)
                                                    for t in tabs_np],
                 out_specs=data_spec,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
                 out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32))
             f = jax.jit(lambda a, b: jnp.max(call(a, b, *tabs)))
             return _min_time(lambda: f(x, y), iters=8)
