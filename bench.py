@@ -291,6 +291,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
     lane_frac = 0.0               # butterflies in lane-roll geometry
     extra_slots = 0.0             # incomplete-NTT basemul output slots
     ceiling_fn = None             # whole-kernel-class ceiling override
+    ceiling_path = None           # CALIBRATION.json path of that class
     phases = None                 # serial-kernel phase model (composed)
     phase_unit = 0.0              # bytes of one data pass (phase model)
 
@@ -467,6 +468,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
             # the shipped kernel): ≥ the streamed rate by construction
             return rows / (cal["incomplete_kernel"]["polymul"]
                            ["mrows_per_s"] * 1e6)
+        ceiling_path = ("incomplete_kernel", "polymul")
     elif config.startswith("bigq"):          # RNS channels + CRT
         # bigq62: n=4096 (ONE-kernel or composed pipeline per BigQPlan's
         # auto choice); bigq65536 / bigq1m: BASELINE config 4's large
@@ -580,6 +582,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                         return None
                     r = w["gbf_per_s"] * 1e9
                     return (bf + extra / OPS_PER_BUTTERFLY["mont"]) / r
+                ceiling_path = ("bigq_flat", "polymul")
 
                 def custom_phases(cal, rows=inner * batch):
                     """Per-section resident rulers -> committed
@@ -838,6 +841,8 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                         and fk.get("n") == nring and fk.get("q") == qq):
                     return rows / (fk["mrows_per_s"] * 1e6)
                 return _model_fn4(cal)
+            if flavor == "f32":
+                ceiling_path = ("fourstep_kernel_f32",)
             traffic = phase_unit * sum(ph["passes"] for ph in phases)
     else:                                    # preset name: sw256/hw256/...
         if config.endswith("cyc"):
@@ -873,6 +878,7 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 def ceiling_fn(cal, rows=inner * batch, key=key):
                     return rows / (cal["kernel_ceiling"][key]
                                    ["mrows_per_s"] * 1e6)
+                ceiling_path = ("kernel_ceiling", key)
         elif backend == "mxu":
             from tpu_ntt.ops.matmul_ntt import MatmulNTT
             impl = MatmulNTT(p)
@@ -1043,6 +1049,34 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                         got = None
                 if got is not None:
                     detail["phase_breakdown"] = got
+        if (ceiling_path and detail.get("pe_fraction", 0) > 1.001):
+            # this run demonstrably exceeded the recorded class ceiling:
+            # ceilings mean "best demonstrated rate on this chip", so a
+            # faster demonstration RAISES the ceiling (with provenance)
+            # and the row is re-judged as at-the-ceiling
+            from tpu_ntt.utils.calibrate import _CAL_PATH
+            try:
+                with open(_CAL_PATH) as f:
+                    caldoc = json.load(f)
+                node = caldoc
+                for kk in ceiling_path:
+                    node = node[kk]
+                implied = inner * batch / marg_s / 1e6
+                if implied > node.get("mrows_per_s", 0):
+                    node["raised_from_mrows_per_s"] =                         node.get("mrows_per_s")
+                    node["mrows_per_s"] = round(implied, 4)
+                    node["raised_by_sweep"] = time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+                    with open(_CAL_PATH, "w") as f:
+                        json.dump(caldoc, f, indent=1)
+                    detail["pe_fraction"] = 1.0
+                    detail["ceiling_raised"] = True
+                    log(f"[bench] {config}: demonstrated rate exceeds "
+                        f"the recorded class ceiling — raised to "
+                        f"{implied:.2f} Mrows/s (best-demonstrated "
+                        f"semantics)")
+            except (OSError, KeyError, ValueError, TypeError):
+                pass
         if "pe_fraction" in detail:
             log(f"[bench] {config}: {100 * detail['pe_fraction']:.0f}% of "
                 f"the measured stage speed-of-light ({flavor}"
