@@ -508,8 +508,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 fn_c = jax.jit(chained)
                 return lambda: fn_c(*pa, *pb)
 
-            pa = tuple(jnp.asarray(t) for t in pack_u64_planes(ah))
-            pb = tuple(jnp.asarray(t) for t in pack_u64_planes(bh))
+            w = getattr(kb, "wide", False)
+            pa = tuple(jnp.asarray(t)
+                       for t in pack_u64_planes(ah, wide=w))
+            pb = tuple(jnp.asarray(t)
+                       for t in pack_u64_planes(bh, wide=w))
             fn = mk_fn(inner)
             if n <= 8192:
                 # schoolbook check affordable
@@ -571,18 +574,33 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 # split/channels/Garner rulers committed as the row's
                 # diagnosis (VERDICT r4 next #1).  Falls back to the
                 # wide-lane stage ruler when the class unit is absent.
+                _flat_key = ("bigq_flat64" if q.bit_length() > 62
+                             else "bigq_flat")
+
                 def ceiling_fn(cal, bf=bf, extra=extra_ops,
-                               rows=inner * batch):
-                    bq = cal.get("bigq_flat", {})
-                    pm = bq.get("polymul", {})
-                    if pm.get("mrows_per_s"):
-                        return rows / (pm["mrows_per_s"] * 1e6)
+                               rows=inner * batch, nring=n, kk=k,
+                               fkey=_flat_key, qq=q):
+                    # per-config class nodes: bigq_flat (62-bit) /
+                    # bigq_flat64 (goldilocks); fall back to the other
+                    # node only on exact (n, k) match (same workload,
+                    # different chunk constants)
+                    del qq                     # key choice encodes q
+                    for cand in (fkey, "bigq_flat"):
+                        bq = cal.get(cand, {})
+                        pm = bq.get("polymul", {})
+                        if (pm.get("mrows_per_s")
+                                and bq.get("n") == nring
+                                and bq.get("k") == kk):
+                            return rows / (pm["mrows_per_s"] * 1e6)
                     w = cal.get("stage_ceiling_lane_wide", {}).get("mont")
                     if not w:
                         return None
                     r = w["gbf_per_s"] * 1e9
                     return (bf + extra / OPS_PER_BUTTERFLY["mont"]) / r
-                ceiling_path = ("bigq_flat", "polymul")
+                # raise only the node OWNED by this config — a faster
+                # different-q row must not overwrite another config's
+                # ruler (r5 review finding)
+                ceiling_path = (_flat_key, "polymul")
 
                 def custom_phases(cal, rows=inner * batch):
                     """Per-section resident rulers -> committed
@@ -714,8 +732,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
                 return out, jnp.max(out[0])
 
             fn_c = jax.jit(chained)
-            pa = tuple(jnp.asarray(t) for t in pack_u64_planes(ah))
-            pb = tuple(jnp.asarray(t) for t in pack_u64_planes(bh))
+            w = plan.wide
+            pa = tuple(jnp.asarray(t)
+                       for t in pack_u64_planes(ah, wide=w))
+            pb = tuple(jnp.asarray(t)
+                       for t in pack_u64_planes(bh, wide=w))
             fn = lambda: fn_c(pa, pb)
         else:
             # mesh / host-CRT paths: no device chain; polymul handles

@@ -356,6 +356,27 @@ def test_staged_session_fixed_shape_contract(rng):
             StagedSession(eng2, batch=2)
 
 
+def test_staged_session_buffer_reuse(rng):
+    """A stage()d operand feeds MULTIPLE products (the address-mapped-
+    RAM posture) and a previous device result chains as an operand —
+    the r5 review found donate_argnums deleted these buffers after the
+    first call on real hardware."""
+    from tpu_ntt.runtime.staged import StagedSession
+    eng = PolyMultEngine(n=256, q=12289)
+    sess = StagedSession(eng, batch=2)
+    a = rng.integers(0, 12289, (2, 256))
+    b1 = rng.integers(0, 12289, (2, 256))
+    b2 = rng.integers(0, 12289, (2, 256))
+    buf = sess.stage(a)
+    c1 = sess.multiply_device(buf, b1)
+    c2 = sess.multiply_device(buf, b2)          # buf reused: must work
+    c3 = sess.multiply_device(c1, b2)           # device result chains
+    np.testing.assert_array_equal(np.asarray(c1), eng.multiply(a, b1))
+    np.testing.assert_array_equal(np.asarray(c2), eng.multiply(a, b2))
+    np.testing.assert_array_equal(
+        np.asarray(c3), eng.multiply(np.asarray(c1), b2))
+
+
 def test_staged_session_overhead_harness(rng):
     """measure_overhead runs and reports both paths (CPU numbers are not
     meaningful; the dispatch-overhead CLAIM is measured on TPU by

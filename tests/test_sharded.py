@@ -245,6 +245,23 @@ def test_initialize_raises_on_configured_failure(monkeypatch):
                              num_processes=2, process_id=0)
 
 
+def test_initialize_idempotent(monkeypatch):
+    """A repeat initialize() on an already-initialized distributed
+    runtime is SUCCESS — the initialize_and_mesh()-after-initialize()
+    pattern must not trip the refuse-to-degrade guard (r5 review)."""
+    import jax
+    from tpu_ntt.parallel import multihost
+
+    def already(*a, **k):
+        raise RuntimeError("Distributed system is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "host:1")
+    multihost.initialize()                       # env-configured repeat
+    multihost.initialize(coordinator="host:1", num_processes=2,
+                         process_id=0)           # explicit-args repeat
+
+
 def test_global_mesh_shape():
     from tpu_ntt.parallel.multihost import global_mesh
     m = global_mesh(dp=2)

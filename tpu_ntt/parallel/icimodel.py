@@ -156,7 +156,11 @@ def efficiency(n: int, d: int, chip: ChipGen, flavor: str = "mont",
 
 def square_factors(d: int) -> tuple[int, int]:
     """Square-ish 2-axis factorization of d (the physical-torus shape
-    the hierarchical mesh should map onto): 16 -> (4,4), 8 -> (2,4)."""
+    the hierarchical mesh should map onto): 16 -> (4,4), 8 -> (2,4).
+    Power-of-two only (four-step factors are powers of two; a silent
+    wrong factorization would mis-price the model)."""
+    if d < 1 or d & (d - 1):
+        raise ValueError(f"square_factors needs a power of two, got {d}")
     l = d.bit_length() - 1
     return (1 << (l // 2), 1 << (l - l // 2))
 

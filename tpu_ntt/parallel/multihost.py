@@ -44,11 +44,21 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     real pod must not degrade to N independent single-host jobs).  Only
     the genuinely-unconfigured single-host case is a quiet no-op."""
     import jax
+
+    def _already(e: Exception) -> bool:
+        # idempotency: a repeat initialize() on an already-initialized
+        # distributed runtime is SUCCESS, not a degradation — the
+        # initialize_and_mesh()-after-initialize() pattern must keep
+        # working on real pods (r5 review finding)
+        return "already initialized" in str(e).lower()
+
     if num_processes is None and coordinator is None:
         configured = [k for k in _DIST_ENV if os.environ.get(k)]
         try:
             jax.distributed.initialize()
         except (ValueError, RuntimeError) as e:
+            if _already(e):
+                return
             if configured:
                 raise RuntimeError(
                     f"jax.distributed.initialize() failed although the "
@@ -59,9 +69,14 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
                         "(%s)", e)
     else:
         # explicit args: jax raises on failure, nothing to swallow
-        jax.distributed.initialize(coordinator_address=coordinator,
-                                   num_processes=num_processes,
-                                   process_id=process_id)
+        # (except the benign already-initialized repeat)
+        try:
+            jax.distributed.initialize(coordinator_address=coordinator,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+        except RuntimeError as e:
+            if not _already(e):
+                raise
 
 
 def global_mesh(axes=("dp", "sp"), dp: int = 1, sp1: int | None = None):

@@ -13,11 +13,11 @@ The TPU twin of that discipline (VERDICT r4 next #8):
   ``(batch, n)`` operand shape; its jitted product is compiled once at
   construction (the v1 "configure the RAM map" step) and every call
   afterwards is dispatch + transfer only.
-- **pre-allocated, donated device buffers**: operands are staged onto
-  the device once per call, and ``donate_argnums`` lets XLA alias the
-  operand buffers for the result — the steady-state device footprint is
-  the session's, not the call's (the address-mapped-RAM analog; without
-  donation every call would allocate a fresh result buffer).
+- **explicit staging, reusable buffers**: ``stage`` puts an operand at
+  a fixed device layout once; it can then feed any number of products
+  (the address-mapped-RAM analog — operands live at their "address"
+  across GOs).  ``multiply_device`` also accepts host arrays directly,
+  folding the transfer into the dispatch (one tunnel round-trip).
 - **device-resident results**: ``multiply_device`` returns the device
   handle without a d2h copy, so chained host logic can keep data on the
   accelerator the way v1 kept it in on-chip RAM between GOs.
@@ -39,7 +39,7 @@ __all__ = ["StagedSession"]
 
 
 class StagedSession:
-    """Fixed-shape, pre-compiled, buffer-donating product session."""
+    """Fixed-shape, pre-compiled product session with explicit staging."""
 
     def __init__(self, engine: Any, batch: int):
         import jax
@@ -63,11 +63,14 @@ class StagedSession:
         else:                          # pragma: no cover - all plans have it
             body = plan.polymul_jit
 
-        # donation: XLA may alias the operand buffers for the result —
-        # the session's steady-state footprint is 2 operand planes, like
-        # v1's fixed RAM map, instead of 2 + 1 fresh result per call
-        self._fn = jax.jit(lambda a, b: body(a, b),
-                           donate_argnums=(0, 1))
+        # NO donation: donated operands are DELETED after the call,
+        # which would crash the documented stage()-and-reuse and
+        # device-resident chaining patterns on real hardware (r5 review
+        # finding) — and for these kernels XLA reported the donated
+        # buffers unusable anyway (layout mismatch), so donation bought
+        # nothing.  The session's value is the fixed shape + the
+        # compile-at-construction discipline.
+        self._fn = jax.jit(lambda a, b: body(a, b))
         self._dtype = jnp.int32
 
         # compile NOW (the v1 "configure" step): calls never pay trace
@@ -100,6 +103,9 @@ class StagedSession:
         may be host arrays (transfer folds into the dispatch) or
         buffers from :meth:`stage` / previous results."""
         from ..validation import check_domain
+        # opt-in only (no-op unless TPU_NTT_VALIDATE/set_validation):
+        # validating a DEVICE-resident operand costs a d2h transfer, the
+        # documented price of boundary validation
         check_domain(a, self.q, "staged multiply a")
         check_domain(b, self.q, "staged multiply b")
         a = a if not isinstance(a, np.ndarray) else self._check(a)

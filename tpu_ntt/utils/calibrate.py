@@ -333,53 +333,60 @@ def _independent_products_rate(kernel_fn, n: int, tile: int, tabs,
             "unroll": unroll, "n": n, "q": q}
 
 
-def _streamed_chain_rate(polymul_cm, n: int, q: int,
-                         batch: int = 4096) -> float:
-    """Best sustained rate of a STREAMED kernel, measured by device-side
-    chaining at three chain lengths with an interleaved min-time
-    least-squares fit (rows/s).  Used as a lower-bound component of the
-    whole-kernel class ceilings: resident fori_loop harnesses schedule
-    some kernel bodies worse than the streamed grid does (the f32 body
-    measured ~35% below its own streamed rate), so the class ceiling is
-    max(resident, streamed-at-calibration-time) — the best rate
-    demonstrably achievable on this chip, independent of any sweep run
-    judged against it."""
+def _chain_fit_rate(step, init_state, rows_per_call: int,
+                    ivs: tuple[int, ...]) -> float:
+    """Best sustained STREAMED rate of a device-chained kernel: run
+    ``step(state) -> state`` (one product whose output feeds the next
+    input) ``iv`` times per call at the chain lengths ``ivs``, with an
+    interleaved 2-visit min-time least-squares fit over iv — the slope
+    excludes dispatch, the interleaving cancels minute-scale relay
+    drift (r4 methodology, now in ONE place for every class ruler).
+    Returns rows/s."""
     import jax
     import jax.numpy as jnp
     import time as _time
 
-    rng2 = np.random.default_rng(1)
-    a = jnp.asarray(rng2.integers(0, q, (batch, n)), jnp.int32).T
-    b = jnp.asarray(rng2.integers(0, q, (batch, n)), jnp.int32).T
-
     def chain(iv):
-        def f(x, y):
-            def body(_, ab):
-                x, y = ab
-                return polymul_cm(x, y), x
-            outv, _ = jax.lax.fori_loop(0, iv, body, (x, y))
-            return outv, jnp.max(outv)
+        def f(*state):
+            st = jax.lax.fori_loop(0, iv, lambda _, t: step(t),
+                                   tuple(state))
+            return jnp.max(st[0])
         return jax.jit(f)
 
-    fns = {iv: chain(iv) for iv in (128, 64, 32)}
+    fns = {iv: chain(iv) for iv in ivs}
     mins = {}
     for fv in fns.values():
-        r = fv(a, b)
-        int(np.asarray(r[1]))                 # compile + sync
+        int(np.asarray(fv(*init_state)))      # compile + sync
     for _visit in range(2):
         for iv, fv in fns.items():
             ts = []
             for _ in range(6):
                 t0 = _time.perf_counter()
-                r = fv(a, b)
-                int(np.asarray(r[1]))
+                int(np.asarray(fv(*init_state)))
                 ts.append(_time.perf_counter() - t0)
             mins[iv] = min(mins.get(iv, float("inf")), min(ts))
     xs = np.array(list(mins), float)
     ys = np.array([mins[iv] for iv in mins], float)
     den = float(((xs - xs.mean()) ** 2).sum())
     slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()) / den
-    return batch / slope if slope > 0 else 0.0
+    return rows_per_call / slope if slope > 0 else 0.0
+
+
+def _streamed_chain_rate(polymul_cm, n: int, q: int,
+                         batch: int = 4096) -> float:
+    """Streamed class-rate of a coefficient-major packed kernel (see
+    :func:`_chain_fit_rate`): used as a component of the whole-kernel
+    class ceilings — resident fori_loop harnesses schedule some kernel
+    bodies worse than the streamed grid does (the f32 body measured
+    ~35% below its own streamed rate), so the class ceiling is
+    max(resident, streamed-at-calibration-time)."""
+    import jax.numpy as jnp
+
+    rng2 = np.random.default_rng(1)
+    a = jnp.asarray(rng2.integers(0, q, (batch, n)), jnp.int32).T
+    b = jnp.asarray(rng2.integers(0, q, (batch, n)), jnp.int32).T
+    return _chain_fit_rate(lambda st: (polymul_cm(st[0], st[1]), st[0]),
+                           (a, b), batch, (128, 64, 32))
 
 
 def kernel_class_ceiling(kind: str, r_hi: int = 192) -> dict:
@@ -489,7 +496,7 @@ def incomplete_kernel_ceiling(r_hi: int = 192, n: int = 256,
 
 
 def bigq_flat_ceiling(n: int = 4096, qbits: int = 62,
-                      r_hi: int = 48) -> dict:
+                      r_hi: int = 48, q: int | None = None) -> dict:
     """Whole-kernel-class ceiling + per-section breakdown for the flat
     one-kernel big-q class (ops/bigq_kernel.PallasBigQ at the bigq62
     sweep point) — the incomplete_kernel methodology applied to the one
@@ -515,9 +522,13 @@ def bigq_flat_ceiling(n: int = 4096, qbits: int = 62,
 
     from ..bigq import select_rns_primes
     from ..ops import bigq_kernel as bk
-    from ..params import find_params
+    from ..params import find_params, make_params
 
-    p = find_params(n, qbits)
+    if q is not None:
+        p = make_params(n, q)
+        qbits = q.bit_length()
+    else:
+        p = find_params(n, qbits)
     primes = select_rns_primes(n, 1 + p.log2n + 2 * qbits + 1)
     kb = bk.PallasBigQ(n, primes, p.q)
     tile, k = kb.tile, len(primes)
@@ -666,41 +677,18 @@ def bigq_flat_ceiling(n: int = 4096, qbits: int = 62,
                         "garner": measure(garner_kernel, 4 * r_hi)}}
 
     # streamed chained rate of the REAL kernel (packed-plane chain)
-    import time as _time
-
     batch = 512
     vals2 = rng.integers(0, p.q, (batch, n), dtype=np.uint64)
     l2, h2 = pack_u64_planes(vals2, wide=wide)
     la = jnp.asarray(l2)
     ha = jnp.asarray(h2)
 
-    def chain(iv):
-        def f(a1, b1, a2, b2):
-            def body(_, st):
-                x1, x2, y1, y2 = st
-                lc, hc = kb.polymul_planes(x1, x2, y1, y2)
-                return lc, hc, x1, x2
-            st = jax.lax.fori_loop(0, iv, body, (a1, b1, a2, b2))
-            return st[0], jnp.max(st[0])
-        return jax.jit(f)
+    def step(st):
+        lc, hc = kb.polymul_planes(st[0], st[1], st[2], st[3])
+        return lc, hc, st[0], st[1]
 
-    fns = {iv: chain(iv) for iv in (32, 16, 8)}
-    mins = {}
-    for fv in fns.values():
-        int(np.asarray(fv(la, ha, la, ha)[1]))
-    for _visit in range(2):
-        for iv, fv in fns.items():
-            ts = []
-            for _ in range(6):
-                t0 = _time.perf_counter()
-                int(np.asarray(fv(la, ha, la, ha)[1]))
-                ts.append(_time.perf_counter() - t0)
-            mins[iv] = min(mins.get(iv, float("inf")), min(ts))
-    xs = np.array(list(mins), float)
-    ys = np.array([mins[iv] for iv in mins], float)
-    den = float(((xs - xs.mean()) ** 2).sum())
-    slope = float(((xs - xs.mean()) * (ys - ys.mean())).sum()) / den
-    streamed = batch / slope / 1e6 if slope > 0 else 0.0
+    streamed = _chain_fit_rate(step, (la, ha, la, ha), batch,
+                               (32, 16, 8)) / 1e6
     out["polymul"]["streamed_mrows_per_s"] = round(streamed, 3)
     out["polymul"]["resident_mrows_per_s"] = out["polymul"]["mrows_per_s"]
     out["polymul"]["mrows_per_s"] = round(
@@ -802,39 +790,13 @@ def fourstep_class_ceiling(flavor: str = "f32", n: int = 1 << 16,
            "tile": fs.tile}
 
     # streamed chained component (outputs are canonical: chainable)
-    import time as _time
-
     batch = 16
     rng = np.random.default_rng(1)
     a2 = jnp.asarray(rng.integers(0, p.q, (batch, n)), jnp.int32)
     b2 = jnp.asarray(rng.integers(0, p.q, (batch, n)), jnp.int32)
-
-    def chain(iv):
-        def f(u, v):
-            def body(_, ab):
-                u, v = ab
-                return fs.polymul(u, v), u
-            outv, _ = jax.lax.fori_loop(0, iv, body, (u, v))
-            return outv, jnp.max(outv)
-        return jax.jit(f)
-
-    fns = {iv: chain(iv) for iv in (64, 32, 16)}
-    mins = {}
-    for fv in fns.values():
-        int(np.asarray(fv(a2, b2)[1]))
-    for _visit in range(2):
-        for iv, fv in fns.items():
-            ts = []
-            for _ in range(6):
-                t0 = _time.perf_counter()
-                int(np.asarray(fv(a2, b2)[1]))
-                ts.append(_time.perf_counter() - t0)
-            mins[iv] = min(mins.get(iv, float("inf")), min(ts))
-    xs = np.array(list(mins), float)
-    ys = np.array([mins[iv] for iv in mins], float)
-    den = float(((xs - xs.mean()) ** 2).sum())
-    slope2 = float(((xs - xs.mean()) * (ys - ys.mean())).sum()) / den
-    streamed = batch / slope2 / 1e6 if slope2 > 0 else 0.0
+    streamed = _chain_fit_rate(
+        lambda st: (fs.polymul(st[0], st[1]), st[0]),
+        (a2, b2), batch, (64, 32, 16)) / 1e6
     out["streamed_mrows_per_s"] = round(streamed, 4)
     out["resident_mrows_per_s"] = out["mrows_per_s"]
     out["mrows_per_s"] = round(max(out["mrows_per_s"], streamed), 4)
@@ -1004,6 +966,8 @@ def calibrate(path: pathlib.Path | str | None = None) -> dict:
     # big-q class rulers (each tolerates failure independently — a
     # tunnel hiccup on one must not lose the whole artifact)
     for key, fn in (("bigq_flat", bigq_flat_ceiling),
+                    ("bigq_flat64",
+                     lambda: bigq_flat_ceiling(q=0xFFFFFFFF00000001)),
                     ("fourstep_kernel_f32", fourstep_class_ceiling),
                     ("bigq_blocked_phases", blocked_bigq_phase_times)):
         try:
