@@ -467,3 +467,20 @@ def test_pallas_split_garner_kernels_wide(rng):
     back = unpack_u64_planes(np.asarray(glo), np.asarray(ghi), wide=True)
     np.testing.assert_array_equal(back, vals)
 
+
+
+def test_bigq_on_hierarchical_mesh(rng):
+    """Big-q channels run on a hierarchical (sp1, sp2) mesh — the fused
+    sharded pipeline composes with the per-axis exchange."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tpu_ntt.parallel.sharded import make_mesh_hier
+    p = find_params(1 << 12, 40)
+    plan = BigQPlan(p, mesh=make_mesh_hier(2, 4))
+    assert plan.channel_plans[0].axes == ("sp1", "sp2")
+    a = rng.integers(0, p.q, (1, p.n)).astype(np.uint64)
+    b = rng.integers(0, p.q, (1, p.n)).astype(np.uint64)
+    c = plan.polymul(a, b)
+    want = BigQPlan(p, backend="xla").polymul(a, b)
+    np.testing.assert_array_equal(c, want)

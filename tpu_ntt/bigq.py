@@ -514,7 +514,19 @@ class BigQPlan:
                          if min(self.primes) > (1 << 16) else None)
         else:
             from .parallel.sharded import ShardedPlan
-            self.channel_plans = [ShardedPlan(make_params(n, p), mesh)
+            # transform axis: "x" (the make_mesh default), hierarchical
+            # (sp1, sp2), or "sp" — mirrors the engine's mesh dispatch
+            names = list(mesh.shape)
+            if "x" in names:
+                axis = "x"
+            elif "sp1" in names and "sp2" in names:
+                axis = ("sp1", "sp2")
+            elif "sp" in names:
+                axis = "sp"
+            else:
+                axis = names[-1]
+            self.channel_plans = [ShardedPlan(make_params(n, p), mesh,
+                                              axis=axis)
                                   for p in self.primes]
             self.dcrt = (DeviceCRT(self.primes, q)
                          if min(self.primes) > (1 << 16) else None)
