@@ -579,12 +579,11 @@ def bench_config(config: str, batch: int, iters: int, warmup: int,
 
                 def ceiling_fn(cal, bf=bf, extra=extra_ops,
                                rows=inner * batch, nring=n, kk=k,
-                               fkey=_flat_key, qq=q):
+                               fkey=_flat_key):
                     # per-config class nodes: bigq_flat (62-bit) /
-                    # bigq_flat64 (goldilocks); fall back to the other
-                    # node only on exact (n, k) match (same workload,
-                    # different chunk constants)
-                    del qq                     # key choice encodes q
+                    # bigq_flat64 (goldilocks, selected via fkey); fall
+                    # back to the other node only on exact (n, k) match
+                    # (same workload, different chunk constants)
                     for cand in (fkey, "bigq_flat"):
                         bq = cal.get(cand, {})
                         pm = bq.get("polymul", {})
